@@ -1,5 +1,6 @@
 """Constraint assembly: static-shape efc rows (dof friction, joint limits,
-pyramidal contact facets), MuJoCo soft-constraint semantics.
+pyramidal contact facets), MuJoCo soft-constraint semantics, fully vectorized
+over static index sets.
 
 Row layout (static):
   [0, nfric)                      dof frictionloss rows (always active)
@@ -7,11 +8,11 @@ Row layout (static):
   [nfric+nlimit, nefc)            contact pyramid facets, 4 per contact slot
                                   (2*(condim-1), condim=3), active iff dist<0
 
-Formulas validated against C-MuJoCo 3.10 efc_* arrays (see tests):
+Formulas validated against C-MuJoCo 3.10 efc_* arrays (tests/test_physics_oracle.py):
   impedance d(pos) from solimp spline; B = 2/(dmax*tc); K = 1/(dmax^2 tc^2 zeta^2)
   aref = -B*vel - K*d*pos;  R = max((1-d)/d * diagApprox, MINVAL);  D = 1/R
   diagApprox: dof_invweight0 for friction/limits;
-              2*mu^2*(1+mu^2)*(sum body_invweight0_trn) for pyramid facets.
+              2*mu^2*(1+mu^2)*(sum of body_invweight0_trn) for pyramid facets.
 """
 
 from __future__ import annotations
@@ -19,7 +20,9 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
+from open_duck_playground_tpu.physics import structure
 from open_duck_playground_tpu.physics.types import Contact, Model
 
 _MINVAL = 1e-15
@@ -46,9 +49,7 @@ def impedance(solimp: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, _MINVAL), 0.0, 1.0)
     a = 1.0 / jnp.power(mid, power - 1)
     b = 1.0 / jnp.power(1 - mid, power - 1)
-    y = jnp.where(
-        x < mid, a * jnp.power(x, power), 1 - b * jnp.power(1 - x, power)
-    )
+    y = jnp.where(x < mid, a * jnp.power(x, power), 1 - b * jnp.power(1 - x, power))
     return jnp.clip(dmin + y * (dmax - dmin), _MINIMP, _MAXIMP)
 
 
@@ -65,6 +66,15 @@ def kb(solref: jnp.ndarray, solimp: jnp.ndarray):
     return k, b
 
 
+def nefc(m: Model) -> int:
+    s = m.spec
+    return (
+        len(s.friction_dofs)
+        + len(structure.limited_hinges(s))
+        + s.ncon_max * 4
+    )
+
+
 def make_constraints(
     m: Model,
     qpos: jnp.ndarray,
@@ -74,91 +84,85 @@ def make_constraints(
     contact: Contact,
 ) -> EfcRows:
     s = m.spec
-    nv = s.nv
     dtype = qpos.dtype
 
-    J_rows, aref_rows, D_rows, R_rows, fl_rows, pos_rows = [], [], [], [], [], []
+    # --- dof friction rows (always active)
+    fd = np.asarray(s.friction_dofs, dtype=np.int32)
+    e_fric = jnp.asarray(structure.one_hot_dofs(s, s.friction_dofs), dtype)
+    imp_f = impedance(m.dof_solimp[fd], jnp.zeros(len(fd), dtype))
+    _, b_f = kb(m.dof_solref[fd], m.dof_solimp[fd])
+    aref_f = -b_f * qvel[fd]
+    r_f = jnp.maximum((1 - imp_f) / imp_f * m.dof_invweight0[fd], _MINVAL)
+    J_f, D_f = e_fric, 1.0 / r_f
+    fl_f = m.dof_frictionloss[fd]
+    pos_f = jnp.zeros(len(fd), dtype)
 
-    # --- dof friction rows
-    for dof in s.friction_dofs:
-        J = jnp.zeros(nv, dtype).at[dof].set(1.0)
-        imp = impedance(m.dof_solimp[dof], jnp.zeros((), dtype))
-        _, b = kb(m.dof_solref[dof], m.dof_solimp[dof])
-        aref = -b * qvel[dof]
-        r = jnp.maximum((1 - imp) / imp * m.dof_invweight0[dof], _MINVAL)
-        J_rows.append(J)
-        aref_rows.append(aref)
-        R_rows.append(r)
-        D_rows.append(1.0 / r)
-        fl_rows.append(m.dof_frictionloss[dof])
-        pos_rows.append(jnp.zeros((), dtype))
+    # --- joint limit rows (one per limited hinge, active iff dist < margin)
+    lj = structure.limited_hinges(s)
+    lq = np.asarray([s.jnt_qposadr[j] for j in lj])
+    ld = np.asarray([s.jnt_dofadr[j] for j in lj])
+    e_lim = jnp.asarray(structure.one_hot_dofs(s, tuple(int(d) for d in ld)), dtype)
+    q = qpos[lq]
+    lo, hi = m.jnt_range[lj, 0], m.jnt_range[lj, 1]
+    dist_lo, dist_hi = q - lo, hi - q
+    sign = jnp.where(dist_lo < dist_hi, 1.0, -1.0).astype(dtype)
+    dist = jnp.minimum(dist_lo, dist_hi)
+    margin = m.jnt_margin[lj]
+    active_l = dist < margin
+    pos_l = dist - margin
+    imp_l = impedance(m.jnt_solimp[lj], pos_l)
+    k_l, b_l = kb(m.jnt_solref[lj], m.jnt_solimp[lj])
+    aref_l = -b_l * sign * qvel[ld] - k_l * imp_l * pos_l
+    r_l = jnp.maximum((1 - imp_l) / imp_l * m.dof_invweight0[ld], _MINVAL)
+    J_l = jnp.where(active_l[:, None], sign[:, None] * e_lim, 0.0)
+    aref_l = jnp.where(active_l, aref_l, 0.0)
+    D_l = jnp.where(active_l, 1.0 / r_l, 0.0)
+    fl_l = jnp.zeros(len(lj), dtype)
 
-    # --- joint limit rows (hinges; one row per limited joint)
-    for j in range(s.njnt):
-        if not s.jnt_limited[j] or s.jnt_type[j] != 3:
-            continue
-        qadr, dof = s.jnt_qposadr[j], s.jnt_dofadr[j]
-        q = qpos[qadr]
-        lo, hi = m.jnt_range[j, 0], m.jnt_range[j, 1]
-        dist_lo = q - lo
-        dist_hi = hi - q
-        lower_closer = dist_lo < dist_hi
-        dist = jnp.minimum(dist_lo, dist_hi)
-        sign = jnp.where(lower_closer, 1.0, -1.0).astype(dtype)
-        active = dist < m.jnt_margin[j]
-        J = jnp.zeros(nv, dtype).at[dof].set(sign)
-        pos = dist - m.jnt_margin[j]
-        imp = impedance(m.jnt_solimp[j], pos)
-        k, b = kb(m.jnt_solref[j], m.jnt_solimp[j])
-        aref = -b * sign * qvel[dof] - k * imp * pos
-        r = jnp.maximum((1 - imp) / imp * m.dof_invweight0[dof], _MINVAL)
-        J_rows.append(jnp.where(active, J, 0.0))
-        aref_rows.append(jnp.where(active, aref, 0.0))
-        R_rows.append(r)
-        D_rows.append(jnp.where(active, 1.0 / r, 0.0))
-        fl_rows.append(jnp.zeros((), dtype))
-        pos_rows.append(pos)
-
-    # --- contact pyramid facets
-    mask = m.ancestor_mask.astype(dtype)  # (nbody, nv)
+    # --- contact pyramid facets (4 per slot), vectorized over slots
+    ncon = s.ncon_max
+    foot_bodies = tuple(s.geom_bodyid[g] for g in s.collide_geom_ids)
+    slot_body = np.repeat(
+        np.asarray(foot_bodies, dtype=np.int32), s.points_per_foot
+    )  # (ncon,)
     floor_b = s.geom_bodyid[s.floor_geom_id]
-    inv_trn = m.body_invweight0[:, 0]
-    for fi, gid in enumerate(s.collide_geom_ids):
-        b_id = s.geom_bodyid[gid]
-        invw = inv_trn[b_id] + inv_trn[floor_b]
-        for slot in range(s.points_per_foot):
-            c = fi * s.points_per_foot + slot
-            p = contact.pos[c]
-            dist = contact.dist[c]
-            active = dist < 0.0
-            # translational point jacobian of the foot body at p: (3, nv)
-            jp = mask[b_id][None, :] * (
-                cdof[:, 3:].T + jnp.cross(cdof[:, :3], p - com).T
-            )
-            n = contact.frame[c, 0]
-            imp = impedance(contact.solimp[c], dist)
-            k, b_ = kb(contact.solref[c], contact.solimp[c])
-            for t_ix in (1, 2):
-                mu = contact.friction[c, t_ix - 1]
-                t = contact.frame[c, t_ix]
-                diag = 2.0 * mu * mu * (1.0 + mu * mu) * invw
-                r = jnp.maximum((1 - imp) / imp * diag, _MINVAL)
-                for sgn in (1.0, -1.0):
-                    J = (n + sgn * mu * t) @ jp
-                    vel = J @ qvel
-                    aref = -b_ * vel - k * imp * dist
-                    J_rows.append(jnp.where(active, J, 0.0))
-                    aref_rows.append(jnp.where(active, aref, 0.0))
-                    R_rows.append(r)
-                    D_rows.append(jnp.where(active, 1.0 / r, 0.0))
-                    fl_rows.append(jnp.zeros((), dtype))
-                    pos_rows.append(dist)
+    mask = m.ancestor_mask.astype(dtype)[slot_body]  # (ncon, nv)
+    # translational point jacobian per slot: (ncon, 3, nv)
+    jp = mask[:, None, :] * (
+        cdof[None, :, 3:] + jnp.cross(cdof[None, :, :3], (contact.pos - com)[:, None, :])
+    ).transpose(0, 2, 1)
+    n = contact.frame[:, 0]  # (ncon, 3)
+    t = contact.frame[:, 1:]  # (ncon, 2, 3)
+    mu = contact.friction[:, :2]  # (ncon, 2)
+    # facet directions: order (+t1, -t1, +t2, -t2) to match MuJoCo
+    sgn = jnp.asarray([1.0, -1.0], dtype)
+    dirs = (
+        n[:, None, None, :] + sgn[None, None, :, None] * mu[:, :, None, None] * t[:, :, None, :]
+    ).reshape(ncon, 4, 3)
+    J_c = jnp.einsum("cfk,ckv->cfv", dirs, jp)  # (ncon, 4, nv)
+    dist_c = contact.dist
+    active_c = dist_c < 0.0
+    imp_c = impedance(contact.solimp, dist_c)
+    k_c, b_c = kb(contact.solref, contact.solimp)
+    vel_c = J_c @ qvel  # (ncon, 4)
+    aref_c = -b_c[:, None] * vel_c - (k_c * imp_c * dist_c)[:, None]
+    invw = m.body_invweight0[slot_body, 0] + m.body_invweight0[floor_b, 0]
+    mu2 = mu**2  # (ncon, 2)
+    diag = (2.0 * mu2 * (1.0 + mu2) * invw[:, None])[:, :, None]  # (ncon,2,1)
+    diag = jnp.broadcast_to(diag, (ncon, 2, 2)).reshape(ncon, 4)
+    r_c = jnp.maximum((1 - imp_c[:, None]) / imp_c[:, None] * diag, _MINVAL)
+    J_c = jnp.where(active_c[:, None, None], J_c, 0.0).reshape(ncon * 4, -1)
+    aref_c = jnp.where(active_c[:, None], aref_c, 0.0).reshape(-1)
+    D_c = jnp.where(active_c[:, None], 1.0 / r_c, 0.0).reshape(-1)
+    r_c = r_c.reshape(-1)
+    fl_c = jnp.zeros(ncon * 4, dtype)
+    pos_c = jnp.repeat(dist_c, 4)
 
     return EfcRows(
-        J=jnp.stack(J_rows),
-        aref=jnp.stack(aref_rows),
-        D=jnp.stack(D_rows),
-        R=jnp.stack(R_rows),
-        frictionloss=jnp.stack(fl_rows),
-        pos=jnp.stack(pos_rows),
+        J=jnp.concatenate([J_f, J_l, J_c]),
+        aref=jnp.concatenate([aref_f, aref_l, aref_c]),
+        D=jnp.concatenate([D_f, D_l, D_c]),
+        R=jnp.concatenate([r_f, r_l, r_c]),
+        frictionloss=jnp.concatenate([fl_f, fl_l, fl_c]),
+        pos=jnp.concatenate([pos_f, pos_l, pos_c]),
     )

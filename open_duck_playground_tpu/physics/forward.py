@@ -102,21 +102,26 @@ def forward(m: Model, d: Data) -> Data:
 def _integrate(m: Model, d: Data) -> Data:
     """Semi-implicit Euler (eulerdamp disabled in the duck model): update
     qvel with qacc, then integrate qpos with the new qvel."""
+    import numpy as np
+
+    from open_duck_playground_tpu.physics import structure
+
     s = m.spec
     dt = s.timestep
     qvel = d.qvel + dt * d.qacc
     qpos = d.qpos
-    for j in range(s.njnt):
-        qadr = s.jnt_qposadr[j]
-        dadr = s.jnt_dofadr[j]
-        if s.jnt_type[j] == FREE:
-            qpos = qpos.at[qadr : qadr + 3].add(dt * qvel[dadr : dadr + 3])
-            quat = maths.quat_integrate(
-                qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt
-            )
-            qpos = qpos.at[qadr + 3 : qadr + 7].set(quat)
-        else:
-            qpos = qpos.at[qadr].add(dt * qvel[dadr])
+    hj = structure.hinge_joints(s)
+    hq = np.asarray([s.jnt_qposadr[j] for j in hj])
+    hd = np.asarray([s.jnt_dofadr[j] for j in hj])
+    qpos = qpos.at[hq].add(dt * qvel[hd])
+    fj = structure.free_joint(s)
+    if fj >= 0:
+        qadr, dadr = s.jnt_qposadr[fj], s.jnt_dofadr[fj]
+        qpos = qpos.at[qadr : qadr + 3].add(dt * qvel[dadr : dadr + 3])
+        quat = maths.quat_integrate(
+            qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt
+        )
+        qpos = qpos.at[qadr + 3 : qadr + 7].set(quat)
     return d.replace(qpos=qpos, qvel=qvel, qacc_warmstart=d.qacc)
 
 

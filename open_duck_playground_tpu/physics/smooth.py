@@ -2,61 +2,46 @@
 position-servo actuation. Equivalent roles: mj_crb / mj_rne / mj_passive /
 mj_fwdActuation. Dense formulation — at nv<=30 a dense (nv,nv) matrix batched
 over thousands of envs is the TPU-friendly layout (MXU-shaped einsums, no
-scatter/gather)."""
+scatter/gather in the hot path)."""
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from open_duck_playground_tpu.physics import maths
 from open_duck_playground_tpu.physics.types import Model
 
+_batched_inertia = jax.vmap(maths.inertia_matrix)
+
+
+def body_inertias(m: Model, xipos, ximat, com):
+    """Spatial inertia of every body about the CoM origin: (nbody, 6, 6)."""
+    return _batched_inertia(m.body_mass, m.body_inertia, xipos - com, ximat)
+
 
 def mass_matrix(m: Model, cdof, xipos, ximat, com):
     """Dense joint-space inertia M (nv, nv): M = sum_b J_b^T I_b J_b with
-    J_b = ancestry-masked cdof, I_b the body spatial inertia about the CoM
-    origin. Armature added on the diagonal."""
-    s = m.spec
-    # spatial inertia per body about com origin: (nbody, 6, 6)
-    ibody = jnp.stack(
-        [
-            maths.inertia_matrix(
-                m.body_mass[b], m.body_inertia[b], xipos[b] - com, ximat[b]
-            )
-            for b in range(s.nbody)
-        ]
-    )
+    J_b = ancestry-masked cdof. Armature added on the diagonal."""
+    ibody = body_inertias(m, xipos, ximat, com)
     mask = m.ancestor_mask.astype(cdof.dtype)  # (nbody, nv)
-    # J_b = mask[b][:,None] * cdof  -> M = sum_b (J_b I_b J_b^T) in dof space
     jb = mask[:, :, None] * cdof[None, :, :]  # (nbody, nv, 6)
-    ij = jnp.einsum("bij,bvj->bvi", ibody, jb)  # (nbody, nv, 6)
+    ij = jnp.einsum("bij,bvj->bvi", ibody, jb)
     qm = jnp.einsum("bvi,bwi->vw", jb, ij)
     return qm + jnp.diag(m.dof_armature)
 
 
 def rne_bias(m: Model, cdof, cdof_dot, cvel, qvel, xipos, ximat, com):
     """qfrc_bias = C(q, qvel) + gravity loads (mj_rne with qacc=0)."""
-    s = m.spec
     dtype = cdof.dtype
     gravity_acc = jnp.concatenate([jnp.zeros(3, dtype), -m.gravity])
-    # forward: body accelerations with qacc=0
-    mask = m.ancestor_mask.astype(dtype)  # (nbody, nv)
-    cacc = gravity_acc[None, :] + jnp.einsum(
-        "bv,vk,v->bk", mask, cdof_dot, qvel
-    )  # (nbody, 6)
-    ibody = jnp.stack(
-        [
-            maths.inertia_matrix(
-                m.body_mass[b], m.body_inertia[b], xipos[b] - com, ximat[b]
-            )
-            for b in range(s.nbody)
-        ]
-    )
-    # f_b = I_b a_b + v_b x* (I_b v_b)
+    mask = m.ancestor_mask.astype(dtype)
+    cacc = gravity_acc[None, :] + mask @ (cdof_dot * qvel[:, None])
+    ibody = body_inertias(m, xipos, ximat, com)
     iv = jnp.einsum("bij,bj->bi", ibody, cvel)
     f = jnp.einsum("bij,bj->bi", ibody, cacc) + maths.motion_cross_force(cvel, iv)
-    # backward: qfrc_bias_d = cdof_d . sum_{b moved by d} f_b
-    fsum = jnp.einsum("bv,bk->vk", mask, f)  # (nv, 6)
+    fsum = mask.T @ f  # (nv, 6): per-dof sum of forces over moved bodies
     return jnp.einsum("vk,vk->v", cdof, fsum)
 
 
@@ -71,8 +56,8 @@ def actuation(m: Model, qpos, qvel, ctrl):
     force = gain0*ctrl + bias1*length + bias2*velocity, clamped to forcerange;
     ctrl clamped to ctrlrange. Returns (actuator_force (nu,), qfrc (nv,))."""
     s = m.spec
-    trn_j = jnp.asarray([s.jnt_qposadr[j] for j in s.actuator_trnid])
-    trn_d = jnp.asarray([s.jnt_dofadr[j] for j in s.actuator_trnid])
+    trn_j = np.asarray([s.jnt_qposadr[j] for j in s.actuator_trnid])
+    trn_d = np.asarray([s.jnt_dofadr[j] for j in s.actuator_trnid])
     length = qpos[trn_j]
     velocity = qvel[trn_d]
     c = jnp.clip(ctrl, m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1])

@@ -1,0 +1,35 @@
+"""Test harness config: force CPU with 8 virtual devices (multi-chip sharding
+tests run on a virtual mesh, SURVEY §4), enable x64 so physics oracle tests
+can compare against C-MuJoCo at f64 fidelity."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/odp_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import pathlib  # noqa: E402
+
+import pytest  # noqa: E402
+
+XMLS = (
+    pathlib.Path(__file__).resolve().parents[1]
+    / "open_duck_playground_tpu"
+    / "models"
+    / "open_duck_mini_v2"
+    / "xmls"
+)
+
+
+@pytest.fixture(scope="session")
+def xml_dir():
+    return XMLS
