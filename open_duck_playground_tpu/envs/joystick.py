@@ -142,7 +142,8 @@ class Joystick(DuckEnv):
         self._qpos_noise_scale = jnp.asarray(scale, jnp.float32)
 
     # ------------------------------------------------------------------ reset
-    def reset(self, rng: jax.Array) -> State:
+    def reset(self, rng: jax.Array, model=None) -> State:
+        model = model if model is not None else self._model
         qpos = self._init_q
         qvel = jnp.zeros(self._model.spec.nv, jnp.float32)
 
@@ -169,7 +170,7 @@ class Joystick(DuckEnv):
         )
 
         ctrl = self.get_actuator_joints_qpos(qpos)
-        data = F.init(self._model, qpos, qvel, ctrl)
+        data = F.init(model, qpos, qvel, ctrl)
 
         rng, cmd_rng = jax.random.split(rng)
         cmd = self.sample_command(cmd_rng)
@@ -217,7 +218,7 @@ class Joystick(DuckEnv):
                 metrics[("reward/" if v > 0 else "cost/") + k] = jnp.zeros(())
         metrics["swing_peak"] = jnp.zeros(())
 
-        contact = C.feet_contact_flags(self._model, data.contact)
+        contact = C.feet_contact_flags(model, data.contact)
         obs = self._get_obs(data, info, contact)
         return State(
             data=data,
@@ -229,7 +230,8 @@ class Joystick(DuckEnv):
         )
 
     # ------------------------------------------------------------------- step
-    def step(self, state: State, action: jax.Array) -> State:
+    def step(self, state: State, action: jax.Array, model=None) -> State:
+        model = model if model is not None else self._model
         info = dict(state.info)
         cfg = self._config
 
@@ -284,10 +286,10 @@ class Joystick(DuckEnv):
             lim = cfg.max_motor_velocity * self.dt
             motor_targets = jnp.clip(motor_targets, prev - lim, prev + lim)
 
-        data = F.step(self._model, data, motor_targets, self.n_substeps)
+        data = F.step(model, data, motor_targets, self.n_substeps)
         info["motor_targets"] = motor_targets
 
-        contact = C.feet_contact_flags(self._model, data.contact)
+        contact = C.feet_contact_flags(model, data.contact)
         contact_filt = contact | info["last_contact"]
         first_contact = (info["feet_air_time"] > 0.0) * contact_filt
         info["feet_air_time"] = info["feet_air_time"] + self.dt

@@ -1,0 +1,389 @@
+"""PPO trainer: rollout scan, truncation-aware GAE, clipped surrogate loss,
+minibatched SGD, running obs normalization, asymmetric actor-critic, periodic
+eval, checkpoint/ONNX hooks.
+
+Replaces `brax.training.agents.ppo.train` (reference runner.py:104-118) with
+a TPU-native design: one `jax.jit`-compiled training epoch over a
+`jax.sharding.Mesh` with a single "data" axis — env state and rollouts are
+sharded across chips over ICI, parameters/normalizer are replicated, and the
+gradient/normalizer reductions become XLA collectives automatically (no pmap,
+no NCCL; SURVEY §2.3). Env-batch vectorization comes from `TrainingEnv`'s
+vmap; scaling out = growing the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from open_duck_playground_tpu.envs.wrappers import EvalEnv, TrainingEnv
+from open_duck_playground_tpu.train import gae, networks as N, running_stats as RS
+
+
+@struct.dataclass
+class TrainingState:
+    params: dict
+    opt_state: optax.OptState
+    normalizer: RS.RunningStats
+    env_steps: jnp.ndarray
+
+
+def _obs_sizes(env) -> dict:
+    shapes = env.observation_size
+    return {k: int(np.prod(v)) for k, v in shapes.items()}
+
+
+def make_policy_factory(net: N.PPONetworks):
+    def make_policy(variables, deterministic: bool = False):
+        normalizer, params = variables
+
+        def policy(obs, rng):
+            norm = RS.normalize(normalizer, obs)
+            logits = net.policy_logits(params, norm)
+            if deterministic:
+                return N.deterministic_action(logits), {}
+            raw = N.sample_raw(rng, logits)
+            return N.postprocess(raw), {
+                "raw_action": raw,
+                "log_prob": N.log_prob(logits, raw),
+            }
+
+        return policy
+
+    return make_policy
+
+
+def train(
+    environment,
+    num_timesteps: int,
+    eval_env=None,
+    num_envs: int = 8192,
+    episode_length: int = 1000,
+    action_repeat: int = 1,
+    unroll_length: int = 20,
+    num_minibatches: int = 32,
+    num_updates_per_batch: int = 4,
+    batch_size: int = 256,
+    learning_rate: float = 3e-4,
+    entropy_cost: float = 1e-2,
+    discounting: float = 0.97,
+    gae_lambda: float = 0.95,
+    clipping_epsilon: float = 0.3,
+    normalize_advantage: bool = True,
+    reward_scaling: float = 1.0,
+    max_grad_norm: Optional[float] = 1.0,
+    normalize_observations: bool = True,
+    num_evals: int = 1,
+    num_eval_envs: int = 128,
+    deterministic_eval: bool = False,
+    seed: int = 0,
+    policy_hidden_layer_sizes: Tuple[int, ...] = (128,) * 4,
+    value_hidden_layer_sizes: Tuple[int, ...] = (256,) * 4,
+    policy_obs_key: str = "state",
+    value_obs_key: str = "privileged_state",
+    randomization_fn: Optional[Callable] = None,
+    progress_fn: Callable[[int, dict], None] = lambda *a: None,
+    policy_params_fn: Callable = lambda *a: None,
+    restore_checkpoint_path: Optional[str] = None,
+    mesh: Optional[Mesh] = None,
+):
+    """Returns (make_policy, (normalizer, params), metrics)."""
+    assert batch_size * num_minibatches == num_envs, (
+        "PPO rollout contract: batch_size * num_minibatches must equal num_envs",
+        batch_size, num_minibatches, num_envs)
+    rng = jax.random.PRNGKey(seed)
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+    ndev = mesh.devices.size
+    assert num_envs % ndev == 0, (num_envs, ndev)
+    data_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+
+    env = environment
+    rng, wrap_rng = jax.random.split(rng)
+    train_env = TrainingEnv(
+        env,
+        episode_length=episode_length,
+        action_repeat=action_repeat,
+        randomization_fn=randomization_fn,
+        rng=wrap_rng,
+        num_envs=num_envs,
+    )
+
+    obs_sizes = _obs_sizes(env)
+    net = N.PPONetworks(
+        obs_sizes,
+        env.action_size,
+        tuple(policy_hidden_layer_sizes),
+        tuple(value_hidden_layer_sizes),
+        policy_obs_key,
+        value_obs_key,
+    )
+    make_policy = make_policy_factory(net)
+
+    tx_parts = []
+    if max_grad_norm is not None:
+        tx_parts.append(optax.clip_by_global_norm(max_grad_norm))
+    tx_parts.append(optax.adam(learning_rate))
+    tx = optax.chain(*tx_parts)
+
+    rng, init_rng = jax.random.split(rng)
+    params = net.init(init_rng)
+    normalizer = RS.init(obs_sizes)
+    if not normalize_observations:
+        # identity normalizer: keep std=1, mean=0 forever
+        pass
+    training_state = TrainingState(
+        params=params,
+        opt_state=tx.init(params),
+        normalizer=normalizer,
+        env_steps=jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32),
+    )
+
+    if restore_checkpoint_path is not None:
+        from open_duck_playground_tpu.train import checkpoint as CKPT
+
+        normalizer, params = CKPT.restore(
+            restore_checkpoint_path, (training_state.normalizer, training_state.params)
+        )
+        training_state = training_state.replace(
+            params=params, normalizer=normalizer, opt_state=tx.init(params)
+        )
+
+    # ------------------------------------------------------------- rollout
+    def policy_step(carry, _, params, normalizer):
+        env_state, key = carry
+        key, akey = jax.random.split(key)
+        norm_obs = RS.normalize(normalizer, env_state.obs)
+        logits = net.policy_logits(params, norm_obs)
+        raw = N.sample_raw(akey, logits)
+        action = N.postprocess(raw)
+        nstate = train_env.step(env_state, action)
+        transition = {
+            "obs": env_state.obs,
+            "raw_action": raw,
+            "log_prob": N.log_prob(logits, raw),
+            "reward": nstate.reward,
+            "done": nstate.done,
+            "truncation": nstate.info["truncation"],
+            "next_obs": nstate.obs,
+        }
+        return (nstate, key), transition
+
+    def generate_unroll(env_state, key, params, normalizer):
+        (env_state, _), data = jax.lax.scan(
+            functools.partial(policy_step, params=params, normalizer=normalizer),
+            (env_state, key),
+            None,
+            length=unroll_length,
+        )
+        return env_state, data  # leaves: (T, num_envs, ...)
+
+    # ---------------------------------------------------------------- loss
+    def loss_fn(params, normalizer, data, ent_key):
+        """data leaves: (B, T, ...) minibatch."""
+        # move time first: (T, B, ...)
+        data = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), data)
+        norm_obs = RS.normalize(normalizer, data["obs"])
+        logits = net.policy_logits(params, norm_obs)
+        baseline = net.value(params, norm_obs)
+        norm_next = RS.normalize(
+            normalizer, jax.tree.map(lambda x: x[-1], data["next_obs"])
+        )
+        bootstrap = net.value(params, norm_next)
+
+        rewards = data["reward"] * reward_scaling
+        truncation = data["truncation"]
+        termination = data["done"] * (1 - truncation)
+
+        target_lp = N.log_prob(logits, data["raw_action"])
+        behaviour_lp = data["log_prob"]
+
+        vs, advantages = gae.compute_gae(
+            truncation=truncation,
+            termination=termination,
+            rewards=rewards,
+            values=baseline,
+            bootstrap_value=bootstrap,
+            lambda_=gae_lambda,
+            discount=discounting,
+        )
+        if normalize_advantage:
+            advantages = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        rho = jnp.exp(target_lp - behaviour_lp)
+        surrogate = rho * advantages
+        clipped = (
+            jnp.clip(rho, 1 - clipping_epsilon, 1 + clipping_epsilon) * advantages
+        )
+        policy_loss = -jnp.mean(jnp.minimum(surrogate, clipped))
+
+        v_error = vs - baseline
+        v_loss = jnp.mean(v_error * v_error) * 0.5 * 0.5
+
+        ent = jnp.mean(N.entropy(ent_key, logits))
+        entropy_loss = -entropy_cost * ent
+
+        total = policy_loss + v_loss + entropy_loss
+        return total, {
+            "total_loss": total,
+            "policy_loss": policy_loss,
+            "v_loss": v_loss,
+            "entropy_loss": entropy_loss,
+        }
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def minibatch_step(carry, data):
+        params, opt_state, normalizer, key = carry
+        key, ent_key = jax.random.split(key)
+        (_, metrics), grads = grad_fn(params, normalizer, data, ent_key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, normalizer, key), metrics
+
+    def training_step(training_state: TrainingState, env_state, key):
+        key, unroll_key, sgd_key = jax.random.split(key, 3)
+        env_state, data = generate_unroll(
+            env_state, unroll_key, training_state.params, training_state.normalizer
+        )
+        # data leaves: (T, num_envs, ...)
+
+        if normalize_observations:
+            normalizer = RS.update(training_state.normalizer, data["obs"])
+        else:
+            normalizer = training_state.normalizer
+
+        def one_epoch(carry, _):
+            params, opt_state, key = carry
+            key, perm_key = jax.random.split(key)
+
+            def shuffle(x):
+                x = jnp.swapaxes(x, 0, 1)  # (num_envs, T, ...)
+                x = jax.random.permutation(perm_key, x, axis=0)
+                return x.reshape((num_minibatches, -1) + x.shape[1:])
+
+            shuffled = jax.tree.map(shuffle, data)
+            (params, opt_state, _, key), metrics = jax.lax.scan(
+                minibatch_step, (params, opt_state, normalizer, key), shuffled
+            )
+            return (params, opt_state, key), metrics
+
+        (params, opt_state, _), metrics = jax.lax.scan(
+            one_epoch,
+            (training_state.params, training_state.opt_state, sgd_key),
+            None,
+            length=num_updates_per_batch,
+        )
+        metrics = jax.tree.map(jnp.mean, metrics)
+        metrics["reward_mean"] = data["reward"].mean()
+        new_ts = TrainingState(
+            params=params,
+            opt_state=opt_state,
+            normalizer=normalizer,
+            env_steps=training_state.env_steps
+            + num_envs * unroll_length * action_repeat,
+        )
+        return new_ts, env_state, key, metrics
+
+    steps_per_training_step = num_envs * unroll_length * action_repeat
+
+    def training_epoch(training_state, env_state, key, num_steps: int):
+        def body(carry, _):
+            ts, es, k = carry
+            ts, es, k, metrics = training_step(ts, es, k)
+            return (ts, es, k), metrics
+
+        (training_state, env_state, key), metrics = jax.lax.scan(
+            body, (training_state, env_state, key), None, length=num_steps
+        )
+        return training_state, env_state, key, jax.tree.map(jnp.mean, metrics)
+
+    # ------------------------------------------------------------------ eval
+    evaluator = None
+    if num_evals > 1 or eval_env is not None:
+        ev_env = EvalEnv(
+            eval_env or env,
+            episode_length=episode_length,
+            action_repeat=action_repeat,
+        )
+
+        def run_eval(variables, key):
+            policy = make_policy(variables, deterministic=deterministic_eval)
+            key, rkey = jax.random.split(key)
+            state = ev_env.reset(jax.random.split(rkey, num_eval_envs))
+
+            def step(carry, _):
+                s, k = carry
+                k, ak = jax.random.split(k)
+                action, _ = policy(s.obs, ak)
+                return (ev_env.step(s, action), k), None
+
+            (state, _), _ = jax.lax.scan(
+                step, (state, key), None, length=episode_length // action_repeat
+            )
+            em = state.info["eval_metrics"]
+            return {
+                "eval/episode_reward": em["episode_reward"].mean(),
+                "eval/episode_reward_std": em["episode_reward"].std(),
+                "eval/avg_episode_length": em["episode_length"].mean(),
+            }
+
+        evaluator = jax.jit(run_eval)
+
+    # ------------------------------------------------------------- schedule
+    num_evals_after_init = max(num_evals - 1, 1)
+    steps_per_epoch = int(
+        np.ceil(num_timesteps / (num_evals_after_init * steps_per_training_step))
+    )
+
+    epoch_fn = jax.jit(
+        functools.partial(training_epoch, num_steps=steps_per_epoch),
+        in_shardings=(replicated, data_sharding, replicated),
+        out_shardings=(replicated, data_sharding, replicated, replicated),
+    )
+
+    rng, reset_rng, epoch_key = jax.random.split(rng, 3)
+    env_keys = jax.device_put(jax.random.split(reset_rng, num_envs), data_sharding)
+    env_state = jax.jit(train_env.reset, out_shardings=data_sharding)(env_keys)
+
+    all_metrics = {}
+    current_step = 0
+
+    def do_eval_and_hooks(ts):
+        nonlocal all_metrics
+        variables = (ts.normalizer, ts.params)
+        metrics = dict(all_metrics)
+        if evaluator is not None:
+            rng_eval = jax.random.PRNGKey(seed + 1000)
+            metrics.update(jax.device_get(evaluator(variables, rng_eval)))
+        progress_fn(current_step, metrics)
+        policy_params_fn(current_step, make_policy, jax.device_get(variables))
+
+    # eval before any training (brax does an initial eval when num_evals > 1)
+    if num_evals > 1:
+        do_eval_and_hooks(training_state)
+
+    while current_step < num_timesteps:
+        t0 = time.monotonic()
+        training_state, env_state, epoch_key, metrics = epoch_fn(
+            training_state, env_state, epoch_key
+        )
+        metrics = jax.device_get(metrics)
+        current_step = int(jax.device_get(training_state.env_steps))
+        dt = time.monotonic() - t0
+        sps = steps_per_epoch * steps_per_training_step / dt
+        all_metrics = {f"training/{k}": float(v) for k, v in metrics.items()}
+        all_metrics["training/sps"] = sps
+        do_eval_and_hooks(training_state)
+
+    variables = jax.device_get((training_state.normalizer, training_state.params))
+    return make_policy, variables, all_metrics
