@@ -1,0 +1,87 @@
+"""Benchmark: env-step throughput of the flagship workload on the local
+accelerator.
+
+North-star metric (BASELINE.md): env steps/sec/chip at 4096 envs on the
+joystick flat_terrain_backlash task (full pipeline: 10 physics substeps +
+collision + Newton solve + obs/reward assembly per env step), with per-env
+domain-randomized models, exactly as training rolls out. Baseline target:
+2,000,000 env steps/s on a v5p-8 => 250,000 steps/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/odp_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax
+import jax.numpy as jnp
+
+NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+STEPS = int(os.environ.get("BENCH_STEPS", 50))
+BASELINE_PER_CHIP = 250_000.0
+
+
+def main():
+    from open_duck_playground_tpu.envs.joystick import Joystick
+    from open_duck_playground_tpu.envs.randomize import domain_randomize
+    from open_duck_playground_tpu.envs.wrappers import TrainingEnv
+
+    env = Joystick(task="flat_terrain_backlash")
+    rng = jax.random.PRNGKey(0)
+    wrapped = TrainingEnv(
+        env,
+        episode_length=1000,
+        randomization_fn=domain_randomize,
+        rng=rng,
+        num_envs=NUM_ENVS,
+    )
+    keys = jax.random.split(rng, NUM_ENVS)
+    state = jax.jit(wrapped.reset)(keys)
+
+    @jax.jit
+    def rollout(state, key):
+        def body(carry, _):
+            s, k = carry
+            k, ak = jax.random.split(k)
+            action = jax.random.uniform(
+                ak, (NUM_ENVS, env.action_size), minval=-1.0, maxval=1.0
+            )
+            return (wrapped.step(s, action), k), ()
+
+        (state, key), _ = jax.lax.scan(body, (state, key), None, length=STEPS)
+        return state, key
+
+    key = jax.random.PRNGKey(1)
+    state, key = rollout(state, key)  # compile + warmup
+    jax.block_until_ready(state.reward)
+
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        state, key = rollout(state, key)
+    jax.block_until_ready(state.reward)
+    dt = time.perf_counter() - t0
+
+    env_steps = NUM_ENVS * STEPS * reps
+    sps = env_steps / dt
+    n_chips = jax.device_count()
+    per_chip = sps / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_sec_per_chip@4096envs",
+                "value": round(per_chip, 1),
+                "unit": "env_steps/s/chip",
+                "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Training CLI.
+
+Reference parity: `playground/common/runner.py` +
+`playground/open_duck_mini_v2/runner.py` — same flags
+(--env --task --num_timesteps --output_dir --restore_checkpoint_path), same
+side effects (TensorBoard scalars, orbax checkpoint + ONNX export per eval).
+
+    python -m open_duck_playground_tpu.cli.runner \
+        --env joystick --task flat_terrain_backlash --num_timesteps 300000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+from datetime import datetime
+from pathlib import Path
+
+from open_duck_playground_tpu.train.config import ppo_config
+
+ENVS = {"joystick": None, "standing": None}  # resolved lazily (heavy imports)
+
+
+def build_env(name: str, task: str):
+    if name == "joystick":
+        from open_duck_playground_tpu.envs.joystick import Joystick
+
+        return Joystick(task=task)
+    if name == "standing":
+        from open_duck_playground_tpu.envs.standing import Standing
+
+        return Standing(task=task)
+    raise ValueError(f"unknown env {name!r}; choose from {sorted(ENVS)}")
+
+
+class Runner:
+    def __init__(self, args: argparse.Namespace):
+        self.args = args
+        self.output_dir = Path.cwd() / Path(args.output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+
+        os.makedirs(".tmp", exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", ".tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(log_dir=str(self.output_dir))
+        except ImportError:  # pragma: no cover
+            self.writer = None
+
+        self.env = build_env(args.env, args.task)
+        self.eval_env = build_env(args.env, args.task)
+        from open_duck_playground_tpu.envs.randomize import domain_randomize
+
+        self.randomizer = domain_randomize
+        self.num_timesteps = args.num_timesteps
+        self.restore_checkpoint_path = args.restore_checkpoint_path
+        self.ppo_params = ppo_config(num_timesteps=args.num_timesteps)
+        self.action_size = self.env.action_size
+        self.obs_size = None  # filled in train()
+
+    def progress_callback(self, num_steps: int, metrics: dict) -> None:
+        if self.writer is not None:
+            for k, v in metrics.items():
+                self.writer.add_scalar(k, float(v), num_steps)
+        if "eval/episode_reward" in metrics:
+            print("-----------")
+            print(
+                f"STEP: {num_steps} reward: {metrics['eval/episode_reward']}"
+                f" reward_std: {metrics['eval/episode_reward_std']}"
+            )
+            print("-----------")
+
+    def policy_params_fn(self, current_step, make_policy, variables) -> None:
+        del make_policy
+        from open_duck_playground_tpu.train import checkpoint as CKPT
+
+        d = datetime.now().strftime("%Y_%m_%d_%H%M%S")
+        path = self.output_dir / f"{d}_{current_step}"
+        print(f"Saving checkpoint (step: {current_step}): {path}")
+        CKPT.save(path, variables)
+        try:
+            from open_duck_playground_tpu.export.onnx_export import export_policy
+
+            export_policy(
+                variables,
+                self.action_size,
+                self.ppo_params,
+                self.obs_size,
+                output_path=str(self.output_dir / f"{d}_{current_step}.onnx"),
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"ONNX export skipped: {e}")
+
+    def train(self) -> None:
+        from open_duck_playground_tpu.train import ppo
+
+        cfg = dict(self.ppo_params)
+        net = cfg.pop("network_factory")
+        cfg.pop("num_timesteps")
+        self.obs_size = self.env.observation_size["state"][0]
+
+        train_fn = functools.partial(
+            ppo.train,
+            num_timesteps=self.num_timesteps,
+            **cfg,
+            policy_hidden_layer_sizes=tuple(net["policy_hidden_layer_sizes"]),
+            value_hidden_layer_sizes=tuple(net["value_hidden_layer_sizes"]),
+            policy_obs_key=net["policy_obs_key"],
+            value_obs_key=net["value_obs_key"],
+            randomization_fn=self.randomizer,
+            progress_fn=self.progress_callback,
+            policy_params_fn=self.policy_params_fn,
+            restore_checkpoint_path=self.restore_checkpoint_path,
+        )
+        _, params, _ = train_fn(environment=self.env, eval_env=self.eval_env)
+        return params
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Open Duck Mini V2 TPU trainer")
+    parser.add_argument("-o", "--output_dir", type=str, default="checkpoints")
+    parser.add_argument("--num_timesteps", type=int, default=150_000_000)
+    parser.add_argument("--env", type=str, default="joystick", choices=sorted(ENVS))
+    parser.add_argument(
+        "--task",
+        type=str,
+        default="flat_terrain",
+        choices=[
+            "flat_terrain",
+            "rough_terrain",
+            "flat_terrain_backlash",
+            "rough_terrain_backlash",
+        ],
+    )
+    parser.add_argument("--restore_checkpoint_path", type=str, default=None)
+    args = parser.parse_args(argv)
+    Runner(args).train()
+
+
+if __name__ == "__main__":
+    main()
