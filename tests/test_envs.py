@@ -1,0 +1,122 @@
+"""Env-layer tests: obs layout parity, gait oracle ground truth, domain
+randomization, wrapper semantics."""
+
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_duck_playground_tpu.envs import duck_base
+from open_duck_playground_tpu.envs.gait_oracle import GaitOracle
+from open_duck_playground_tpu.envs.joystick import Joystick
+from open_duck_playground_tpu.envs.randomize import domain_randomize
+from open_duck_playground_tpu.envs.standing import Standing
+from open_duck_playground_tpu.envs.wrappers import TrainingEnv
+
+
+@pytest.fixture(scope="module")
+def joystick():
+    return Joystick(task="flat_terrain_backlash")
+
+
+def test_joystick_obs_sizes_match_reference(joystick):
+    # reference sizes: state=101, privileged_state=212 (SURVEY §3.4)
+    st = jax.jit(joystick.reset)(jax.random.PRNGKey(0))
+    assert st.obs["state"].shape == (101,)
+    assert st.obs["privileged_state"].shape == (212,)
+
+
+def test_joystick_step_semantics(joystick):
+    env = joystick
+    step = jax.jit(env.step)
+    st = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    action = jnp.zeros(env.action_size)
+    for _ in range(5):
+        st = step(st, action)
+    assert np.isfinite(float(st.reward))
+    assert float(st.done) in (0.0, 1.0)
+    assert int(st.info["step"]) == 5
+    # imitation phase on the unit circle
+    ph = np.asarray(st.info["imitation_phase"])
+    np.testing.assert_allclose(np.linalg.norm(ph), 1.0, atol=1e-5)
+    # motor target slew limit respected
+    lim = env._config.max_motor_velocity * env.dt + 1e-6
+    big = jnp.ones(env.action_size)
+    st2 = step(st, big)
+    delta = np.abs(
+        np.asarray(st2.info["motor_targets"]) - np.asarray(st.info["motor_targets"])
+    )
+    assert (delta <= lim).all()
+
+
+def test_standing_obs_sizes():
+    env = Standing(task="flat_terrain")
+    st = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert st.obs["state"].shape == (85,)
+    assert st.obs["privileged_state"].shape == (153,)
+    # standing never commands locomotion
+    cmds = [np.asarray(env.sample_command(jax.random.PRNGKey(i))) for i in range(8)]
+    assert all(abs(c[:3]).max() == 0 for c in cmds)
+
+
+def test_gait_oracle_matches_polyval():
+    oracle = GaitOracle(str(duck_base.GAIT_PKL), dtype=jnp.float64)
+    with open(duck_base.GAIT_PKL, "rb") as f:
+        raw = pickle.load(f)
+    key = sorted(raw.keys())[17]
+    dx, dy, dth = (float(v) for v in key.split("_"))
+    i = 13
+    got = np.asarray(oracle.reference_frame(dx, dy, dth, i))
+    t = (i % oracle.nb_steps_in_period) / oracle.nb_steps_in_period
+    want = np.array(
+        [
+            np.polyval(np.flip(np.asarray(raw[key]["coefficients"][f"dim_{d}"])), t)
+            for d in range(40)
+        ]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+    assert oracle.nb_steps_in_period == 27  # 0.54 s @ 50 fps
+
+
+def test_domain_randomize(joystick):
+    model = joystick.model
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    batched, axes = domain_randomize(model, keys)
+    assert batched.body_mass.shape == (4, model.spec.nbody)
+    assert batched.qpos0.shape == (4, model.spec.nq)
+    # randomized fields vary per env; floor friction targets the REAL floor
+    fl = np.asarray(batched.geom_friction)[:, model.spec.floor_geom_id, 0]
+    assert len(np.unique(fl)) == 4
+    assert ((fl >= 0.5) & (fl <= 1.0)).all()
+    # backlash dofs excluded from frictionloss scaling (they stay 0)
+    flr = np.asarray(batched.dof_frictionloss)
+    zero_dofs = [
+        d for d in range(model.spec.nv) if d not in model.spec.friction_dofs
+    ]
+    assert (flr[:, zero_dofs] == 0).all()
+    # kp randomization keeps gain/bias consistency: biasprm[:,1] == -gainprm[:,0]
+    np.testing.assert_allclose(
+        np.asarray(batched.actuator_biasprm)[:, :, 1],
+        -np.asarray(batched.actuator_gainprm)[:, :, 0],
+        rtol=1e-6,
+    )
+    # unrandomized fields stay unbatched
+    assert batched.jnt_range.ndim == 2
+
+
+def test_training_env_truncation_and_autoreset(joystick):
+    wrapped = TrainingEnv(joystick, episode_length=3)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    st = jax.jit(wrapped.reset)(keys)
+    step = jax.jit(wrapped.step)
+    a = jnp.zeros((2, joystick.action_size))
+    for i in range(3):
+        st = step(st, a)
+    assert (np.asarray(st.done) == 1).all()
+    assert (np.asarray(st.info["truncation"]) == 1).all()
+    qpos_done = np.asarray(st.data.qpos)
+    st = step(st, a)  # autoreset to cached first state, then one step
+    assert (np.asarray(st.info["steps"]) == 1).all()
+    assert not np.allclose(np.asarray(st.data.qpos), qpos_done)

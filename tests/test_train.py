@@ -1,0 +1,167 @@
+"""Trainer tests: distribution math, normalizer, GAE properties, full PPO
+learning on a toy env over the 8-device virtual mesh, export roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open_duck_playground_tpu.envs.env_types import State
+from open_duck_playground_tpu.physics.types import Data
+from open_duck_playground_tpu.train import (
+    gae,
+    networks as N,
+    ppo,
+    running_stats as RS,
+)
+
+
+def test_log_prob_matches_change_of_variables():
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (6,), jnp.float64)
+    raw = jax.random.normal(jax.random.PRNGKey(1), (3,), jnp.float64)
+    lp = N.log_prob(logits, raw)
+    # numerical check: density of a = tanh(z), z ~ N(loc, scale)
+    loc, scale = N.dist_params(logits)
+    normal_lp = (
+        -0.5 * ((raw - loc) / scale) ** 2 - 0.5 * np.log(2 * np.pi) - np.log(scale)
+    )
+    jac = np.log1p(-np.tanh(np.asarray(raw)) ** 2 + 1e-300)
+    np.testing.assert_allclose(float(lp), float((normal_lp - jac).sum()), rtol=1e-6)
+
+
+def test_running_stats():
+    stats = RS.init({"state": 3})
+    rng = np.random.default_rng(0)
+    xs = rng.normal(2.0, 3.0, (5, 64, 3)).astype(np.float32)
+    for batch in xs:
+        stats = RS.update(stats, {"state": jnp.asarray(batch)})
+    flat = xs.reshape(-1, 3)
+    np.testing.assert_allclose(np.asarray(stats.mean["state"]), flat.mean(0), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(stats.std["state"]), flat.std(0), rtol=1e-3
+    )
+
+
+def test_gae_no_done_matches_discounted_return():
+    T, B = 5, 2
+    rewards = jnp.ones((T, B))
+    values = jnp.zeros((T, B))
+    bootstrap = jnp.zeros(B)
+    zeros = jnp.zeros((T, B))
+    vs, adv = gae.compute_gae(
+        zeros, zeros, rewards, values, bootstrap, lambda_=1.0, discount=0.9
+    )
+    expected_v0 = sum(0.9**t for t in range(T))
+    np.testing.assert_allclose(np.asarray(vs)[0], expected_v0, rtol=1e-6)
+    # truncation cuts credit
+    trunc = zeros.at[2].set(1.0)
+    vs2, adv2 = gae.compute_gae(
+        trunc, zeros, rewards, values, bootstrap, lambda_=1.0, discount=0.9
+    )
+    np.testing.assert_allclose(np.asarray(adv2)[2], 0.0, atol=1e-7)
+
+
+class PointEnv:
+    action_size = 2
+    observation_size = {"state": (4,), "privileged_state": (4,)}
+    model = None
+
+    def reset(self, rng, model=None):
+        pos = jax.random.uniform(rng, (2,), minval=-1, maxval=1)
+        data = Data(
+            qpos=pos,
+            qvel=jnp.zeros(2),
+            ctrl=jnp.zeros(2),
+            qacc=jnp.zeros(2),
+            qacc_warmstart=jnp.zeros(2),
+        )
+        obs = {
+            "state": jnp.concatenate([pos, jnp.zeros(2)]),
+            "privileged_state": jnp.concatenate([pos, jnp.zeros(2)]),
+        }
+        return State(
+            data=data,
+            obs=obs,
+            reward=jnp.zeros(()),
+            done=jnp.zeros(()),
+            metrics={},
+            info={"rng": rng},
+        )
+
+    def step(self, state, action, model=None):
+        pos = state.data.qpos + 0.1 * action
+        reward = 1.0 - jnp.linalg.norm(pos)
+        obs = {
+            "state": jnp.concatenate([pos, 0 * action]),
+            "privileged_state": jnp.concatenate([pos, 0 * action]),
+        }
+        return state.replace(
+            data=state.data.replace(qpos=pos), obs=obs, reward=reward,
+            done=jnp.zeros(()),
+        )
+
+
+def test_ppo_learns_toy_env():
+    rewards = []
+
+    def progress(step, metrics):
+        if "eval/episode_reward" in metrics:
+            rewards.append(float(metrics["eval/episode_reward"]))
+
+    make_policy, variables, _ = ppo.train(
+        PointEnv(),
+        num_timesteps=40_000,
+        num_envs=32,
+        episode_length=50,
+        unroll_length=10,
+        num_minibatches=4,
+        batch_size=8,
+        num_updates_per_batch=2,
+        learning_rate=3e-3,
+        num_evals=4,
+        num_eval_envs=16,
+        seed=0,
+        policy_hidden_layer_sizes=(32, 32),
+        value_hidden_layer_sizes=(32, 32),
+        progress_fn=progress,
+    )
+    assert rewards[-1] > rewards[0] + 10, rewards
+    # 8 virtual devices were used (data axis sharding)
+    assert jax.device_count() == 8
+
+    # deterministic policy is bounded and consumable
+    policy = make_policy(variables, deterministic=True)
+    a, _ = policy(
+        {"state": jnp.ones(4), "privileged_state": jnp.ones(4)},
+        jax.random.PRNGKey(0),
+    )
+    assert a.shape == (2,) and bool(jnp.all(jnp.abs(a) <= 1))
+
+
+def test_export_roundtrip(tmp_path):
+    from open_duck_playground_tpu.export.onnx_export import export_policy
+    from open_duck_playground_tpu.export.onnx_runtime import OnnxPolicy
+
+    obs_size, act = 101, 14
+    net = N.PPONetworks(
+        {"state": obs_size, "privileged_state": 212}, act, (64, 64), (64,)
+    )
+    params = net.init(jax.random.PRNGKey(0))
+    stats = RS.init({"state": obs_size, "privileged_state": 212})
+    stats = stats.replace(
+        mean={"state": jnp.linspace(-1, 1, obs_size),
+              "privileged_state": stats.mean["privileged_state"]},
+        std={"state": jnp.linspace(0.5, 2, obs_size),
+             "privileged_state": stats.std["privileged_state"]},
+    )
+    path = tmp_path / "policy.onnx"
+    export_policy((stats, params), act, None, obs_size, str(path))
+    pol = OnnxPolicy(str(path))
+    obs = np.random.default_rng(0).uniform(-1, 1, obs_size).astype(np.float32)
+    out = pol.infer(obs)
+    norm = {
+        "state": (obs - stats.mean["state"]) / stats.std["state"],
+        "privileged_state": jnp.zeros(212),
+    }
+    expected = np.asarray(N.deterministic_action(net.policy_logits(params, norm)))
+    np.testing.assert_allclose(out, expected, atol=1e-5)
