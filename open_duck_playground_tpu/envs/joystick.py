@@ -148,25 +148,25 @@ class Joystick(DuckEnv):
         qvel = jnp.zeros(self._model.spec.nv, jnp.float32)
 
         rng, key = jax.random.split(rng)
-        dxy = jax.random.uniform(key, (2,), minval=-0.05, maxval=0.05)
+        dxy = jax.random.uniform(key, (2,), jnp.float32, minval=-0.05, maxval=0.05)
         base = self.get_floating_base_qpos(qpos)
         base = base.at[0:2].add(dxy)
 
         rng, key = jax.random.split(rng)
-        yaw = jax.random.uniform(key, (1,), minval=-3.14, maxval=3.14)
+        yaw = jax.random.uniform(key, (1,), jnp.float32, minval=-3.14, maxval=3.14)
         yaw_quat = maths.axis_angle_to_quat(jnp.array([0.0, 0, 1]), yaw[0])
         base = base.at[3:7].set(maths.quat_mul(base[3:7], yaw_quat))
         qpos = self.set_floating_base_qpos(base, qpos)
 
         rng, key = jax.random.split(rng)
         jpos = self.get_actuator_joints_qpos(qpos) * jax.random.uniform(
-            key, (self._actuators,), minval=0.5, maxval=1.5
+            key, (self._actuators,), jnp.float32, minval=0.5, maxval=1.5
         )
         qpos = self.set_actuator_joints_qpos(jpos, qpos)
 
         rng, key = jax.random.split(rng)
         qvel = self.set_floating_base_qvel(
-            jax.random.uniform(key, (6,), minval=-0.05, maxval=0.05), qvel
+            jax.random.uniform(key, (6,), jnp.float32, minval=-0.05, maxval=0.05), qvel
         )
 
         ctrl = self.get_actuator_joints_qpos(qpos)
@@ -178,6 +178,7 @@ class Joystick(DuckEnv):
         rng, push_rng = jax.random.split(rng)
         push_interval = jax.random.uniform(
             push_rng,
+            dtype=jnp.float32,
             minval=self._config.push_config.interval_range[0],
             maxval=self._config.push_config.interval_range[1],
         )
@@ -192,39 +193,40 @@ class Joystick(DuckEnv):
             "rng": rng,
             "step": 0,
             "command": cmd,
-            "last_act": jnp.zeros(self._actuators),
-            "last_last_act": jnp.zeros(self._actuators),
-            "last_last_last_act": jnp.zeros(self._actuators),
+            "last_act": jnp.zeros(self._actuators, jnp.float32),
+            "last_last_act": jnp.zeros(self._actuators, jnp.float32),
+            "last_last_last_act": jnp.zeros(self._actuators, jnp.float32),
             "motor_targets": self._default_actuator,
-            "feet_air_time": jnp.zeros(2),
+            "feet_air_time": jnp.zeros(2, jnp.float32),
             "last_contact": jnp.zeros(2, dtype=bool),
-            "swing_peak": jnp.zeros(2),
-            "push": jnp.array([0.0, 0.0]),
+            "swing_peak": jnp.zeros(2, jnp.float32),
+            "push": jnp.zeros(2, jnp.float32),
             "push_step": 0,
             "push_interval_steps": push_interval_steps,
             "action_history": jnp.zeros(
-                self._config.noise_config.action_max_delay * self._actuators
+                self._config.noise_config.action_max_delay * self._actuators,
+                jnp.float32,
             ),
-            "imu_history": jnp.zeros(self._config.noise_config.imu_max_delay * 3),
+            "imu_history": jnp.zeros(self._config.noise_config.imu_max_delay * 3, jnp.float32),
             "imitation_i": 0,
             "current_reference_motion": ref,
         }
         if self.obs_has_imitation_phase:
-            info["imitation_phase"] = jnp.zeros(2)
+            info["imitation_phase"] = jnp.zeros(2, jnp.float32)
 
         metrics = {}
         for k, v in self._config.reward_config.scales.items():
             if v != 0:
-                metrics[("reward/" if v > 0 else "cost/") + k] = jnp.zeros(())
-        metrics["swing_peak"] = jnp.zeros(())
+                metrics[("reward/" if v > 0 else "cost/") + k] = jnp.zeros((), jnp.float32)
+        metrics["swing_peak"] = jnp.zeros((), jnp.float32)
 
         contact = C.feet_contact_flags(model, data.contact)
         obs = self._get_obs(data, info, contact)
         return State(
             data=data,
             obs=obs,
-            reward=jnp.zeros(()),
-            done=jnp.zeros(()),
+            reward=jnp.zeros((), jnp.float32),
+            done=jnp.zeros((), jnp.float32),
             metrics=metrics,
             info=info,
         )
@@ -267,13 +269,14 @@ class Joystick(DuckEnv):
         action_delayed = hist.reshape(-1, self._actuators)[idx]
 
         # random planar push injected into base velocity
-        theta = jax.random.uniform(push1_rng, maxval=2 * jnp.pi)
+        theta = jax.random.uniform(push1_rng, dtype=jnp.float32, maxval=2 * jnp.pi)
         magnitude = jax.random.uniform(
             push2_rng,
+            dtype=jnp.float32,
             minval=cfg.push_config.magnitude_range[0],
             maxval=cfg.push_config.magnitude_range[1],
         )
-        push = jnp.array([jnp.cos(theta), jnp.sin(theta)])
+        push = jnp.stack([jnp.cos(theta), jnp.sin(theta)])
         push *= jnp.mod(info["push_step"] + 1, info["push_interval_steps"]) == 0
         push *= cfg.push_config.enable
         a = self._floating_base_qvel_addr
@@ -344,7 +347,7 @@ class Joystick(DuckEnv):
     def _noisy(self, info, x, scale):
         info["rng"], key = jax.random.split(info["rng"])
         lvl = self._config.noise_config.level
-        return x + (2.0 * jax.random.uniform(key, shape=x.shape) - 1.0) * lvl * scale
+        return x + (2.0 * jax.random.uniform(key, x.shape, x.dtype) - 1.0) * lvl * scale
 
     def _get_obs(self, data, info: Dict[str, Any], contact: jax.Array):
         cfg = self._config
@@ -358,7 +361,7 @@ class Joystick(DuckEnv):
             info, accelerometer, cfg.noise_config.scales.accelerometer
         )
 
-        gravity = data.site_xmat[self._site_id].T @ jnp.array([0.0, 0, -1])
+        gravity = data.site_xmat[self._site_id].T @ jnp.array([0.0, 0, -1], data.qpos.dtype)
         noisy_gravity = self._noisy(info, gravity, cfg.noise_config.scales.gravity)
 
         # IMU delay buffer (maintained, consumed by the privileged signal path)
@@ -472,7 +475,8 @@ class Joystick(DuckEnv):
 
         def u(key, lohi, factor=1.0):
             return jax.random.uniform(
-                key, minval=lohi[0] * factor, maxval=lohi[1] * factor
+                key, dtype=jnp.float32,
+                minval=lohi[0] * factor, maxval=lohi[1] * factor,
             )
 
         cmd = jnp.hstack(
@@ -486,4 +490,4 @@ class Joystick(DuckEnv):
                 u(keys[7], cfg.head_roll_range, f),
             ]
         )
-        return jnp.where(jax.random.bernoulli(keys[3], p=0.1), jnp.zeros(7), cmd)
+        return jnp.where(jax.random.bernoulli(keys[3], p=0.1), jnp.zeros(7, jnp.float32), cmd)

@@ -120,7 +120,9 @@ class Standing(Joystick):
         f = cfg.head_range_factor
 
         def u(key, lohi):
-            return jax.random.uniform(key, minval=lohi[0] * f, maxval=lohi[1] * f)
+            return jax.random.uniform(
+                key, dtype=jnp.float32, minval=lohi[0] * f, maxval=lohi[1] * f
+            )
 
         cmd = jnp.hstack(
             [
@@ -133,4 +135,4 @@ class Standing(Joystick):
                 u(keys[7], cfg.head_roll_range),
             ]
         )
-        return jnp.where(jax.random.bernoulli(keys[3], p=0.1), jnp.zeros(7), cmd)
+        return jnp.where(jax.random.bernoulli(keys[3], p=0.1), jnp.zeros(7, jnp.float32), cmd)

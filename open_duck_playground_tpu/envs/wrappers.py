@@ -69,8 +69,8 @@ class TrainingEnv:
             self._batched_model, rng
         )
         info = dict(state.info)
-        info["steps"] = jnp.zeros(rng.shape[0])
-        info["truncation"] = jnp.zeros(rng.shape[0])
+        info["steps"] = jnp.zeros(rng.shape[0], jnp.float32)
+        info["truncation"] = jnp.zeros(rng.shape[0], jnp.float32)
         # cache the post-reset state for autoreset
         info["first_data"] = state.data
         info["first_obs"] = state.obs
@@ -118,9 +118,9 @@ class EvalEnv(TrainingEnv):
         state = super().reset(rng)
         info = dict(state.info)
         info["eval_metrics"] = {
-            "episode_reward": jnp.zeros(rng.shape[0]),
-            "episode_length": jnp.zeros(rng.shape[0]),
-            "episode_done": jnp.zeros(rng.shape[0]),
+            "episode_reward": jnp.zeros(rng.shape[0], jnp.float32),
+            "episode_length": jnp.zeros(rng.shape[0], jnp.float32),
+            "episode_done": jnp.zeros(rng.shape[0], jnp.float32),
         }
         return state.replace(info=info)
 

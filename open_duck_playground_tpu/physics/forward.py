@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from open_duck_playground_tpu.physics import collision as C
 from open_duck_playground_tpu.physics import constraint as CN
 from open_duck_playground_tpu.physics import kinematics as K
+from open_duck_playground_tpu.physics import linalg as LA
 from open_duck_playground_tpu.physics import maths
 from open_duck_playground_tpu.physics import sensors as SN
 from open_duck_playground_tpu.physics import smooth as S
@@ -59,13 +60,7 @@ def forward(m: Model, d: Data) -> Data:
 
     # smooth acceleration
     qfrc_smooth = qfrc_passive - qfrc_bias + qfrc_actuator
-    L = jax.lax.linalg.cholesky(qm)
-    qacc_smooth = jax.lax.linalg.triangular_solve(
-        L, qfrc_smooth[:, None], left_side=True, lower=True
-    )
-    qacc_smooth = jax.lax.linalg.triangular_solve(
-        L, qacc_smooth, left_side=True, lower=True, transpose_a=True
-    )[:, 0]
+    qacc_smooth = LA.cholesky_solve(qm, qfrc_smooth)
 
     # constraints
     efc = CN.make_constraints(m, qpos, qvel, cdof, com, contact)

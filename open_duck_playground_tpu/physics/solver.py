@@ -20,6 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from open_duck_playground_tpu.physics import linalg as LA
 from open_duck_playground_tpu.physics.constraint import EfcRows
 from open_duck_playground_tpu.physics.types import Model
 
@@ -79,14 +80,9 @@ def solve(
         g_rows, h_rows = _force_and_hess(efc, jar)
         grad = M @ (x - qacc_smooth) + efc.J.T @ g_rows
         H = M + (efc.J.T * h_rows) @ efc.J
-        # dense SPD solve for the Newton direction
-        L = jax.lax.linalg.cholesky(H)
-        dx = jax.lax.linalg.triangular_solve(
-            L, -grad[:, None], left_side=True, lower=True
-        )
-        dx = jax.lax.linalg.triangular_solve(
-            L, dx, left_side=True, lower=True, transpose_a=True
-        )[:, 0]
+        # dense SPD solve for the Newton direction (unrolled vectorized
+        # cholesky — XLA's native lowering is pathologically slow here)
+        dx = -LA.cholesky_solve(H, grad)
 
         # analytic linesearch on the piecewise-quadratic 1D restriction
         jv = efc.J @ dx

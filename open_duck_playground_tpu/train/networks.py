@@ -30,7 +30,7 @@ def init_mlp(key, sizes: Sequence[int]) -> Dict:
     for i, (din, dout) in enumerate(zip(sizes[:-1], sizes[1:])):
         params[f"hidden_{i}"] = {
             "kernel": _lecun_uniform(keys[i], (din, dout)),
-            "bias": jnp.zeros(dout),
+            "bias": jnp.zeros(dout, jnp.float32),
         }
     return params
 

@@ -67,23 +67,18 @@ class PointEnv:
     model = None
 
     def reset(self, rng, model=None):
-        pos = jax.random.uniform(rng, (2,), minval=-1, maxval=1)
-        data = Data(
-            qpos=pos,
-            qvel=jnp.zeros(2),
-            ctrl=jnp.zeros(2),
-            qacc=jnp.zeros(2),
-            qacc_warmstart=jnp.zeros(2),
-        )
+        pos = jax.random.uniform(rng, (2,), jnp.float32, minval=-1, maxval=1)
+        z = jnp.zeros(2, jnp.float32)
+        data = Data(qpos=pos, qvel=z, ctrl=z, qacc=z, qacc_warmstart=z)
         obs = {
-            "state": jnp.concatenate([pos, jnp.zeros(2)]),
-            "privileged_state": jnp.concatenate([pos, jnp.zeros(2)]),
+            "state": jnp.concatenate([pos, z]),
+            "privileged_state": jnp.concatenate([pos, z]),
         }
         return State(
             data=data,
             obs=obs,
-            reward=jnp.zeros(()),
-            done=jnp.zeros(()),
+            reward=jnp.zeros((), jnp.float32),
+            done=jnp.zeros((), jnp.float32),
             metrics={},
             info={"rng": rng},
         )
@@ -96,8 +91,9 @@ class PointEnv:
             "privileged_state": jnp.concatenate([pos, 0 * action]),
         }
         return state.replace(
-            data=state.data.replace(qpos=pos), obs=obs, reward=reward,
-            done=jnp.zeros(()),
+            data=state.data.replace(qpos=pos), obs=obs,
+            reward=reward.astype(jnp.float32),
+            done=jnp.zeros((), jnp.float32),
         )
 
 
