@@ -220,7 +220,7 @@ class Joystick(DuckEnv):
                 metrics[("reward/" if v > 0 else "cost/") + k] = jnp.zeros((), jnp.float32)
         metrics["swing_peak"] = jnp.zeros((), jnp.float32)
 
-        contact = C.feet_contact_flags(model, data.contact)
+        contact = C.feet_contact_flags(model, data.contact_dist)
         obs = self._get_obs(data, info, contact)
         return State(
             data=data,
@@ -292,7 +292,7 @@ class Joystick(DuckEnv):
         data = F.step(model, data, motor_targets, self.n_substeps)
         info["motor_targets"] = motor_targets
 
-        contact = C.feet_contact_flags(model, data.contact)
+        contact = C.feet_contact_flags(model, data.contact_dist)
         contact_filt = contact | info["last_contact"]
         first_contact = (info["feet_air_time"] > 0.0) * contact_filt
         info["feet_air_time"] = info["feet_air_time"] + self.dt

@@ -139,10 +139,10 @@ def collide(m: Model, xpos, xquat) -> Contact:
     )
 
 
-def feet_contact_flags(m: Model, contact: Contact) -> jnp.ndarray:
-    """Per-foot boolean contact flags (the `geoms_colliding` equivalent the
-    env layer consumes, reference joystick.py:313-318,424-429)."""
+def feet_contact_flags(m: Model, contact_dist: jnp.ndarray) -> jnp.ndarray:
+    """Per-foot boolean contact flags from fixed-slot contact distances (the
+    `geoms_colliding` equivalent, reference joystick.py:313-318,424-429)."""
     k = m.spec.points_per_foot
     nfoot = len(m.spec.collide_geom_ids)
-    d = contact.dist.reshape(nfoot, k)
+    d = contact_dist.reshape(nfoot, k)
     return (d < 0).any(axis=1)

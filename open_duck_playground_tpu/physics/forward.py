@@ -11,6 +11,8 @@ reference envs observe.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +36,11 @@ def make_data(m: Model, dtype=None) -> Data:
         ctrl=jnp.zeros(s.nu, dtype),
         qacc=jnp.zeros(s.nv, dtype),
         qacc_warmstart=jnp.zeros(s.nv, dtype),
+        site_xpos=jnp.zeros((s.nsite, 3), dtype),
+        site_xmat=jnp.zeros((s.nsite, 3, 3), dtype),
+        actuator_force=jnp.zeros(s.nu, dtype),
+        contact_dist=jnp.zeros(s.ncon_max, dtype),
+        sensordata=jnp.zeros(s.nsensordata, dtype),
     )
 
 
@@ -72,24 +79,10 @@ def forward(m: Model, d: Data) -> Data:
 
     return d.replace(
         qacc=res.qacc,
-        xpos=xpos,
-        xquat=xquat,
-        xipos=xipos,
-        ximat=ximat,
-        xanchor=xanchor,
-        xaxis=xaxis,
         site_xpos=site_xpos,
         site_xmat=site_xmat,
-        com=com,
-        cdof=cdof,
-        cvel=cvel,
         actuator_force=actuator_force,
-        qfrc_actuator=qfrc_actuator,
-        qfrc_smooth=qfrc_smooth,
-        qacc_smooth=qacc_smooth,
-        qfrc_constraint=res.qfrc_constraint,
-        contact=contact,
-        efc_force=res.efc_force,
+        contact_dist=contact.dist,
         sensordata=sensordata,
     )
 
@@ -124,14 +117,54 @@ def substep(m: Model, d: Data) -> Data:
     return _integrate(m, forward(m, d))
 
 
-def step(m: Model, d: Data, ctrl: jnp.ndarray, n_substeps: int) -> Data:
+def step(
+    m: Model,
+    d: Data,
+    ctrl: jnp.ndarray,
+    n_substeps: int,
+    use_megakernel: bool = False,
+) -> Data:
     """n_substeps physics substeps under a fixed ctrl (the control-rate ->
-    sim-rate decimation, reference joystick.py:51-52: 0.02/0.002 = 10)."""
+    sim-rate decimation, reference joystick.py:51-52: 0.02/0.002 = 10).
+
+    With use_megakernel=True the whole loop runs as one Pallas TPU kernel
+    when this call is vmapped over an env batch (physics/megakernel.py);
+    unbatched calls and non-tile-aligned batches fall back to this jnp path.
+    """
+    if use_megakernel:
+        return _megakernel_cv(n_substeps)(m, d, ctrl)
     d = d.replace(ctrl=ctrl)
     d = jax.lax.fori_loop(
         0, n_substeps, lambda _, dd: substep(m, dd), d, unroll=False
     )
     return d
+
+
+@functools.lru_cache(maxsize=8)
+def _megakernel_cv(n_substeps: int):
+    from jax import custom_batching
+
+    from open_duck_playground_tpu.physics import megakernel as MK
+
+    @custom_batching.custom_vmap
+    def f(m, d, ctrl):
+        return step(m, d, ctrl, n_substeps, use_megakernel=False)
+
+    @f.def_vmap
+    def rule(axis_size, in_batched, m, d, ctrl):
+        m_b, d_b, ctrl_b = in_batched
+        if axis_size % MK.LANE_TILE == 0:
+            out = MK.megakernel_step_batched(m, d, ctrl, n_substeps)
+        else:  # non-tile-aligned batch: vmapped jnp fallback
+            m_axes = jax.tree.map(lambda b: 0 if b else None, m_b)
+            out = jax.vmap(
+                lambda mm, dd, cc: step(mm, dd, cc, n_substeps, False),
+                in_axes=(m_axes, 0, 0),
+            )(m, d, ctrl)
+        out_batched = jax.tree.map(lambda _: True, out)
+        return out, out_batched
+
+    return f
 
 
 def init(m: Model, qpos: jnp.ndarray, qvel: jnp.ndarray, ctrl: jnp.ndarray) -> Data:

@@ -198,7 +198,11 @@ class Contact:
 
 @struct.dataclass
 class Data:
-    """Per-env simulation state + forward-pass products the env layer reads."""
+    """Per-env simulation state + the forward-pass products the env layer
+    reads (reference call sites joystick.py:392-607). Internal pipeline
+    quantities (xpos, cdof, efc arrays, ...) are intentionally NOT stored:
+    they are recomputed each substep and keeping them out of the state slims
+    the rollout carry and defines the megakernel's output contract."""
 
     qpos: jnp.ndarray  # (nq,)
     qvel: jnp.ndarray  # (nv,)
@@ -206,25 +210,8 @@ class Data:
     qacc: jnp.ndarray  # (nv,)
     qacc_warmstart: jnp.ndarray  # (nv,)
 
-    xpos: jnp.ndarray = None  # (nbody, 3)
-    xquat: jnp.ndarray = None  # (nbody, 4)
-    xipos: jnp.ndarray = None  # (nbody, 3) CoM world position
-    ximat: jnp.ndarray = None  # (nbody, 3, 3) inertia frame world rotation
-    xanchor: jnp.ndarray = None  # (njnt, 3)
-    xaxis: jnp.ndarray = None  # (njnt, 3)
     site_xpos: jnp.ndarray = None  # (nsite, 3)
     site_xmat: jnp.ndarray = None  # (nsite, 3, 3)
-    com: jnp.ndarray = None  # (3,) robot subtree CoM = spatial origin
-    cdof: jnp.ndarray = None  # (nv, 6) dof motion vectors about com
-    cvel: jnp.ndarray = None  # (nbody, 6) body spatial velocity about com
-
     actuator_force: jnp.ndarray = None  # (nu,) scalar transmission forces
-    qfrc_actuator: jnp.ndarray = None  # (nv,)
-    qfrc_smooth: jnp.ndarray = None  # (nv,)
-    qacc_smooth: jnp.ndarray = None  # (nv,)
-    qfrc_constraint: jnp.ndarray = None  # (nv,)
-
-    contact: Contact = None
-    efc_force: jnp.ndarray = None  # (nefc,) constraint forces (static rows)
-
+    contact_dist: jnp.ndarray = None  # (ncon,) fixed-slot contact distances
     sensordata: jnp.ndarray = None  # (nsensordata,)

