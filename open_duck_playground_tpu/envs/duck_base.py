@@ -59,6 +59,7 @@ class DuckEnv:
         config: config_dict.ConfigDict,
         config_overrides: Optional[Dict[str, Union[str, int, list]]] = None,
         dtype=jnp.float32,
+        use_megakernel: Optional[bool] = None,
     ):
         self._config = config.lock()
         if config_overrides:
@@ -67,6 +68,21 @@ class DuckEnv:
         self._model, self._mj_model = load_model(
             xml_path, timestep=self._config.sim_dt, dtype=dtype
         )
+
+        # physics backend: the Pallas megakernel on TPU (plane floors), the
+        # jnp reference engine elsewhere
+        import jax
+
+        if use_megakernel is None:
+            use_megakernel = (
+                jax.default_backend() == "tpu"
+                and not self._model.spec.floor_is_hfield
+            )
+        self.use_megakernel = use_megakernel
+        if use_megakernel:
+            from open_duck_playground_tpu.physics import megakernel as MK
+
+            MK.prepare(self._model, self.n_substeps)
         self._xml_path = str(xml_path)
         mj = self._mj_model
 

@@ -289,7 +289,8 @@ class Joystick(DuckEnv):
             lim = cfg.max_motor_velocity * self.dt
             motor_targets = jnp.clip(motor_targets, prev - lim, prev + lim)
 
-        data = F.step(model, data, motor_targets, self.n_substeps)
+        data = F.step(model, data, motor_targets, self.n_substeps,
+                      use_megakernel=self.use_megakernel)
         info["motor_targets"] = motor_targets
 
         contact = C.feet_contact_flags(model, data.contact_dist)

@@ -32,7 +32,10 @@ def _combine_params(m: Model, foot_gid: int, floor_gid: int):
     def pick(a, b, eq):
         return jnp.where(floor_wins, b, jnp.where(foot_wins, a, eq))
 
-    friction = pick(m.geom_friction[foot_gid], m.geom_friction[floor_gid], fric_eq)
+    geom_fric = pick(m.geom_friction[foot_gid], m.geom_friction[floor_gid], fric_eq)
+    # geom friction is (slide, torsion, roll); CONTACT friction is
+    # (tangent1, tangent2, torsional, ...) = (slide, slide, torsion)
+    friction = jnp.stack([geom_fric[0], geom_fric[0], geom_fric[1]])
     solref = pick(m.geom_solref[foot_gid], m.geom_solref[floor_gid], solref_eq)
     solimp = pick(m.geom_solimp[foot_gid], m.geom_solimp[floor_gid], solimp_eq)
     return friction, solref, solimp

@@ -19,8 +19,11 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+_HI = jax.lax.Precision.HIGHEST
 
 from open_duck_playground_tpu.physics import structure
 from open_duck_playground_tpu.physics.types import Contact, Model
@@ -139,12 +142,12 @@ def make_constraints(
     dirs = (
         n[:, None, None, :] + sgn[None, None, :, None] * mu[:, :, None, None] * t[:, :, None, :]
     ).reshape(ncon, 4, 3)
-    J_c = jnp.einsum("cfk,ckv->cfv", dirs, jp)  # (ncon, 4, nv)
+    J_c = jnp.einsum("cfk,ckv->cfv", dirs, jp, precision=_HI)  # (ncon, 4, nv)
     dist_c = contact.dist
     active_c = dist_c < 0.0
     imp_c = impedance(contact.solimp, dist_c)
     k_c, b_c = kb(contact.solref, contact.solimp)
-    vel_c = J_c @ qvel  # (ncon, 4)
+    vel_c = jnp.matmul(J_c, qvel, precision=_HI)  # (ncon, 4)
     aref_c = -b_c[:, None] * vel_c - (k_c * imp_c * dist_c)[:, None]
     invw = m.body_invweight0[slot_body, 0] + m.body_invweight0[floor_b, 0]
     mu2 = mu**2  # (ncon, 2)

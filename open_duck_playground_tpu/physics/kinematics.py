@@ -9,8 +9,11 @@ for XLA compile time on both CPU and TPU, while runtime stays fully batched.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+_HI = jax.lax.Precision.HIGHEST
 
 from open_duck_playground_tpu.physics import maths, structure
 from open_duck_playground_tpu.physics.types import FREE, HINGE, Model
@@ -116,9 +119,9 @@ def com_vel(m: Model, cdof, qvel):
     dtype = cdof.dtype
     vdof = cdof * qvel[:, None]
     anc = m.ancestor_mask.astype(dtype)
-    cvel = anc @ vdof
+    cvel = jnp.matmul(anc, vdof, precision=_HI)
     pred = jnp.asarray(structure.dof_pred_mask(s), dtype)
-    carrier = pred @ vdof
+    carrier = jnp.matmul(pred, vdof, precision=_HI)
     ftm = jnp.asarray(structure.free_trans_mask(s), dtype)
     cdof_dot = maths.motion_cross(carrier, cdof) * ftm[:, None]
     return cvel, cdof_dot

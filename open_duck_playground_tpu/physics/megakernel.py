@@ -36,6 +36,7 @@ _MINVAL = 1e-15
 _MINIMP, _MAXIMP = 0.0001, 0.9999
 LANE_TILE = 128
 INTERPRET = False  # set True to run the kernel in interpreter mode (CPU tests)
+DEBUG = False  # adds solver-internal debug outputs (validation only)
 
 
 # ---------------------------------------------------------------- lane math
@@ -320,7 +321,8 @@ def _build_kernel(m: Model, n_substeps: int):
 
             def mask_dot(mask, x):
                 c_, d_, t_ = x.shape
-                y = jnp.dot(mask, x.reshape(c_, d_ * t_), preferred_element_type=f32)
+                y = jnp.dot(mask, x.reshape(c_, d_ * t_), preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)
                 return y.reshape(mask.shape[0], d_, t_)
 
             cvel = mask_dot(anc, vdof)
@@ -717,7 +719,7 @@ def _build_kernel(m: Model, n_substeps: int):
                 sens.append(val)
             sensordata = jnp.concatenate(sens, axis=0)
 
-            return dict(
+            out = dict(
                 qacc=qacc,
                 site_xpos=jnp.stack(site_xpos_l, 0),
                 site_xmat=jnp.stack(site_xmat_l, 0),
@@ -725,6 +727,15 @@ def _build_kernel(m: Model, n_substeps: int):
                 contact_dist=contact_dist,
                 sensordata=sensordata,
             )
+            if DEBUG:
+                out["dbg_qacc_smooth"] = qacc_smooth
+                out["dbg_qfrc_bias"] = qfrc_bias
+                out["dbg_qfrc_smooth"] = qfrc_smooth
+                out["dbg_mdiag"] = jnp.stack([M[i, i, :] for i in range(nv)], 0)
+                out["dbg_aref"] = aref
+                out["dbg_D"] = Dv
+                out["dbg_grad0"] = jtmul(force_hess(jmul(x) - aref)[0])
+            return out
 
         def integrate(qpos, qvel, qacc):
             qvel_n = qvel + dt * qacc
@@ -752,11 +763,18 @@ def _build_kernel(m: Model, n_substeps: int):
             qpos, qvel, warm = carry[:3]
             out = forward_lane(qpos, qvel, warm)
             qpos_n, qvel_n = integrate(qpos, qvel, out["qacc"])
-            return (
+            res = (
                 qpos_n, qvel_n, out["qacc"], out["qacc"], out["site_xpos"],
                 out["site_xmat"], out["actuator_force"], out["contact_dist"],
                 out["sensordata"],
             )
+            if DEBUG:
+                res = res + (
+                    out["dbg_qacc_smooth"], out["dbg_qfrc_bias"],
+                    out["dbg_qfrc_smooth"], out["dbg_mdiag"], out["dbg_aref"],
+                    out["dbg_D"], out["dbg_grad0"],
+                )
+            return res
 
         T = qpos_ref.shape[-1]
         f32 = jnp.float32
@@ -765,11 +783,12 @@ def _build_kernel(m: Model, n_substeps: int):
             qpos_ref[:], qvel_ref[:], warm_ref[:], z(nv), z(s.nsite, 3),
             z(s.nsite, 3, 3), z(nu), z(ncon), z(s.nsensordata),
         )
+        if DEBUG:
+            init = init + (z(nv), z(nv), z(nv), z(nv), z(nefc), z(nefc), z(nv))
         out = jax.lax.fori_loop(0, n_substeps, substep, init)
-        (qpos_n, qvel_n, warm_n, qacc, sxp, sxm, af, cd, sd) = out
-        for ref, val in zip(
-            out_refs, (qpos_n, qvel_n, qacc, warm_n, sxp, sxm, af, cd, sd)
-        ):
+        (qpos_n, qvel_n, warm_n, qacc, sxp, sxm, af, cd, sd) = out[:9]
+        vals = (qpos_n, qvel_n, qacc, warm_n, sxp, sxm, af, cd, sd) + tuple(out[9:])
+        for ref, val in zip(out_refs, vals):
             ref[:] = val
 
     out_shapes = dict(
@@ -778,6 +797,11 @@ def _build_kernel(m: Model, n_substeps: int):
         actuator_force=(nu,), contact_dist=(ncon,),
         sensordata=(s.nsensordata,),
     )
+    if DEBUG:
+        out_shapes.update(
+            dbg_qacc_smooth=(nv,), dbg_qfrc_bias=(nv,), dbg_qfrc_smooth=(nv,),
+            dbg_mdiag=(nv,), dbg_aref=(nefc,), dbg_D=(nefc,), dbg_grad0=(nv,),
+        )
     return kernel, const_values, out_shapes
 
 

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
 import numpy as np
 
 from open_duck_playground_tpu.physics import maths
@@ -27,8 +29,8 @@ def mass_matrix(m: Model, cdof, xipos, ximat, com):
     ibody = body_inertias(m, xipos, ximat, com)
     mask = m.ancestor_mask.astype(cdof.dtype)  # (nbody, nv)
     jb = mask[:, :, None] * cdof[None, :, :]  # (nbody, nv, 6)
-    ij = jnp.einsum("bij,bvj->bvi", ibody, jb)
-    qm = jnp.einsum("bvi,bwi->vw", jb, ij)
+    ij = jnp.einsum("bij,bvj->bvi", ibody, jb, precision=_HI)
+    qm = jnp.einsum("bvi,bwi->vw", jb, ij, precision=_HI)
     return qm + jnp.diag(m.dof_armature)
 
 
@@ -37,12 +39,12 @@ def rne_bias(m: Model, cdof, cdof_dot, cvel, qvel, xipos, ximat, com):
     dtype = cdof.dtype
     gravity_acc = jnp.concatenate([jnp.zeros(3, dtype), -m.gravity])
     mask = m.ancestor_mask.astype(dtype)
-    cacc = gravity_acc[None, :] + mask @ (cdof_dot * qvel[:, None])
+    cacc = gravity_acc[None, :] + jnp.matmul(mask, cdof_dot * qvel[:, None], precision=_HI)
     ibody = body_inertias(m, xipos, ximat, com)
-    iv = jnp.einsum("bij,bj->bi", ibody, cvel)
-    f = jnp.einsum("bij,bj->bi", ibody, cacc) + maths.motion_cross_force(cvel, iv)
-    fsum = mask.T @ f  # (nv, 6): per-dof sum of forces over moved bodies
-    return jnp.einsum("vk,vk->v", cdof, fsum)
+    iv = jnp.einsum("bij,bj->bi", ibody, cvel, precision=_HI)
+    f = jnp.einsum("bij,bj->bi", ibody, cacc, precision=_HI) + maths.motion_cross_force(cvel, iv)
+    fsum = jnp.matmul(mask.T, f, precision=_HI)  # (nv, 6)
+    return jnp.einsum("vk,vk->v", cdof, fsum, precision=_HI)
 
 
 def passive_force(m: Model, qvel):

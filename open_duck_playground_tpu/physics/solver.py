@@ -20,6 +20,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# TPU lowers f32 matmuls through bf16 passes by default
+# (xla_allow_excess_precision); the Newton system is too ill-conditioned for
+# that — force true f32 contractions on the solver's linear algebra.
+_mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
 from open_duck_playground_tpu.physics import linalg as LA
 from open_duck_playground_tpu.physics.constraint import EfcRows
 from open_duck_playground_tpu.physics.types import Model
@@ -48,7 +53,7 @@ def _force_and_hess(efc: EfcRows, jar):
 
 
 def _cost(efc: EfcRows, M, a_smooth, x):
-    jar = efc.J @ x - efc.aref
+    jar = _mm(efc.J, x) - efc.aref
     fl = efc.frictionloss
     is_fric = fl > 0
     quad = 0.5 * efc.D * jar * jar
@@ -58,7 +63,7 @@ def _cost(efc: EfcRows, M, a_smooth, x):
     fr = jnp.where(jnp.abs(efc.D * jar) < fl, quad, lin)
     ccost = jnp.where(is_fric, fr, uni).sum()
     dx = x - a_smooth
-    return 0.5 * dx @ (M @ dx) + ccost
+    return 0.5 * jnp.sum(dx * _mm(M, dx)) + ccost
 
 
 def solve(
@@ -76,19 +81,19 @@ def solve(
     x = jnp.where(c_w < c_s, warmstart, qacc_smooth)
 
     for _ in range(s.iterations):
-        jar = efc.J @ x - efc.aref
+        jar = _mm(efc.J, x) - efc.aref
         g_rows, h_rows = _force_and_hess(efc, jar)
-        grad = M @ (x - qacc_smooth) + efc.J.T @ g_rows
-        H = M + (efc.J.T * h_rows) @ efc.J
+        grad = _mm(M, x - qacc_smooth) + _mm(efc.J.T, g_rows)
+        H = M + _mm(efc.J.T * h_rows, efc.J)
         # dense SPD solve for the Newton direction (unrolled vectorized
         # cholesky — XLA's native lowering is pathologically slow here)
         dx = -LA.cholesky_solve(H, grad)
 
         # analytic linesearch on the piecewise-quadratic 1D restriction
-        jv = efc.J @ dx
-        mv = M @ dx
-        g0 = dx @ (M @ (x - qacc_smooth))
-        hq = dx @ mv
+        jv = _mm(efc.J, dx)
+        mv = _mm(M, dx)
+        g0 = jnp.sum(dx * _mm(M, x - qacc_smooth))
+        hq = jnp.sum(dx * mv)
         alpha = jnp.zeros((), x.dtype)
         for _ in range(s.ls_iterations):
             jar_a = jar + alpha * jv
@@ -98,8 +103,8 @@ def solve(
             alpha = alpha - dphi / jnp.maximum(ddphi, 1e-12)
         x = x + alpha * dx
 
-    jar = efc.J @ x - efc.aref
+    jar = _mm(efc.J, x) - efc.aref
     g_rows, _ = _force_and_hess(efc, jar)
     efc_force = -g_rows
-    qfrc_constraint = efc.J.T @ efc_force
+    qfrc_constraint = _mm(efc.J.T, efc_force)
     return SolveResult(qacc=x, efc_force=efc_force, qfrc_constraint=qfrc_constraint)
