@@ -58,6 +58,7 @@ def main():
 
     key = jax.random.PRNGKey(1)
     state, key = rollout(state, key)  # compile + warmup
+    state, key = rollout(state, key)  # absorb steady-state retrace
     jax.block_until_ready(state.reward)
 
     t0 = time.perf_counter()

@@ -99,11 +99,13 @@ class Joystick(DuckEnv):
         task: str = "flat_terrain",
         config: Optional[config_dict.ConfigDict] = None,
         config_overrides: Optional[Dict[str, Union[str, int, list]]] = None,
+        **kwargs,
     ):
         super().__init__(
             xml_path=duck_base.task_to_xml(task),
             config=config or self.default_config(),
             config_overrides=config_overrides,
+            **kwargs,
         )
         self._post_init()
 
@@ -191,7 +193,9 @@ class Joystick(DuckEnv):
 
         info = {
             "rng": rng,
-            "step": 0,
+            # strong-typed scalars: reset-state avals must match step-output
+            # avals exactly, or jit caches miss and every rollout retraces
+            "step": jnp.asarray(0, jnp.int32),
             "command": cmd,
             "last_act": jnp.zeros(self._actuators, jnp.float32),
             "last_last_act": jnp.zeros(self._actuators, jnp.float32),
@@ -201,14 +205,14 @@ class Joystick(DuckEnv):
             "last_contact": jnp.zeros(2, dtype=bool),
             "swing_peak": jnp.zeros(2, jnp.float32),
             "push": jnp.zeros(2, jnp.float32),
-            "push_step": 0,
+            "push_step": jnp.asarray(0, jnp.int32),
             "push_interval_steps": push_interval_steps,
             "action_history": jnp.zeros(
                 self._config.noise_config.action_max_delay * self._actuators,
                 jnp.float32,
             ),
             "imu_history": jnp.zeros(self._config.noise_config.imu_max_delay * 3, jnp.float32),
-            "imitation_i": 0,
+            "imitation_i": jnp.asarray(0, jnp.int32),
             "current_reference_motion": ref,
         }
         if self.obs_has_imitation_phase:
@@ -248,7 +252,7 @@ class Joystick(DuckEnv):
                 cmd[0], cmd[1], cmd[2], imitation_i
             )
         else:
-            info["imitation_i"] = 0
+            info["imitation_i"] = jnp.asarray(0, jnp.int32)
 
         rng, push1_rng, push2_rng, delay_rng = jax.random.split(info["rng"], 4)
         info["rng"] = rng

@@ -85,9 +85,10 @@ class Standing(Joystick):
         task: str = "flat_terrain",
         config: Optional[config_dict.ConfigDict] = None,
         config_overrides: Optional[Dict[str, Union[str, int, list]]] = None,
+        **kwargs,
     ):
         super().__init__(task=task, config=config or default_config(),
-                         config_overrides=config_overrides)
+                         config_overrides=config_overrides, **kwargs)
 
     @staticmethod
     def default_config() -> config_dict.ConfigDict:
