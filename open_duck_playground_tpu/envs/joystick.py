@@ -156,7 +156,7 @@ class Joystick(DuckEnv):
 
         rng, key = jax.random.split(rng)
         yaw = jax.random.uniform(key, (1,), jnp.float32, minval=-3.14, maxval=3.14)
-        yaw_quat = maths.axis_angle_to_quat(jnp.array([0.0, 0, 1]), yaw[0])
+        yaw_quat = maths.axis_angle_to_quat(jnp.array([0.0, 0, 1], jnp.float32), yaw[0])
         base = base.at[3:7].set(maths.quat_mul(base[3:7], yaw_quat))
         qpos = self.set_floating_base_qpos(base, qpos)
 
@@ -238,6 +238,9 @@ class Joystick(DuckEnv):
     # ------------------------------------------------------------------- step
     def step(self, state: State, action: jax.Array, model=None) -> State:
         model = model if model is not None else self._model
+        # coerce caller-supplied actions to the engine dtype (callers running
+        # under jax_enable_x64 would otherwise promote state leaves to f64)
+        action = jnp.asarray(action, jnp.float32)
         info = dict(state.info)
         cfg = self._config
 

@@ -34,46 +34,48 @@ def domain_randomize(model: Model, rng: jax.Array):
     torso_body = 1
     floor_geom = s.floor_geom_id
 
+    ftype = model.body_mass.dtype
+
     @jax.vmap
     def rand(rng):
         rng, key = jax.random.split(rng)
         geom_friction = model.geom_friction.at[floor_geom, 0].set(
-            jax.random.uniform(key, minval=0.5, maxval=1.0)
+            jax.random.uniform(key, minval=0.5, maxval=1.0, dtype=ftype)
         )
 
         rng, key = jax.random.split(rng)
         fl = model.dof_frictionloss[fd] * jax.random.uniform(
-            key, (len(fd),), minval=0.9, maxval=1.1
+            key, (len(fd),), minval=0.9, maxval=1.1, dtype=ftype
         )
         dof_frictionloss = model.dof_frictionloss.at[fd].set(fl)
 
         rng, key = jax.random.split(rng)
         arm = model.dof_armature[fd] * jax.random.uniform(
-            key, (len(fd),), minval=1.0, maxval=1.05
+            key, (len(fd),), minval=1.0, maxval=1.05, dtype=ftype
         )
         dof_armature = model.dof_armature.at[fd].set(arm)
 
         rng, key = jax.random.split(rng)
-        dpos = jax.random.uniform(key, (3,), minval=-0.05, maxval=0.05)
+        dpos = jax.random.uniform(key, (3,), minval=-0.05, maxval=0.05, dtype=ftype)
         body_ipos = model.body_ipos.at[torso_body].set(
             model.body_ipos[torso_body] + dpos
         )
 
         rng, key = jax.random.split(rng)
-        dmass = jax.random.uniform(key, (s.nbody,), minval=0.9, maxval=1.1)
+        dmass = jax.random.uniform(key, (s.nbody,), minval=0.9, maxval=1.1, dtype=ftype)
         body_mass = model.body_mass * dmass
         rng, key = jax.random.split(rng)
         body_mass = body_mass.at[torso_body].add(
-            jax.random.uniform(key, minval=-0.1, maxval=0.1)
+            jax.random.uniform(key, minval=-0.1, maxval=0.1, dtype=ftype)
         )
 
         rng, key = jax.random.split(rng)
         qpos0 = model.qpos0.at[qadr].add(
-            jax.random.uniform(key, (len(qadr),), minval=-0.03, maxval=0.03)
+            jax.random.uniform(key, (len(qadr),), minval=-0.03, maxval=0.03, dtype=ftype)
         )
 
         rng, key = jax.random.split(rng)
-        factor = jax.random.uniform(key, (s.nu,), minval=0.9, maxval=1.1)
+        factor = jax.random.uniform(key, (s.nu,), minval=0.9, maxval=1.1, dtype=ftype)
         kp = model.actuator_gainprm[:, 0] * factor
         actuator_gainprm = model.actuator_gainprm.at[:, 0].set(kp)
         actuator_biasprm = model.actuator_biasprm.at[:, 1].set(-kp)

@@ -39,7 +39,7 @@ def action_rate(act, last_act):
 
 def alive():
     """Constant survival bonus (rewards.py:124-125)."""
-    return jnp.array(1.0)
+    return jnp.array(1.0, jnp.float32)
 
 
 def orientation(torso_zaxis):

@@ -4,14 +4,17 @@ can compare against C-MuJoCo at f64 fidelity."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
 import jax  # noqa: E402
 
+# The harness may pre-register a TPU backend (e.g. JAX_PLATFORMS=axon via
+# sitecustomize) that overrides the env vars above; force CPU post-import too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/odp_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

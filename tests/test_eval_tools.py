@@ -86,3 +86,53 @@ def test_low_pass_filter():
     for _ in range(100):
         f.push(np.ones(3))
     np.testing.assert_allclose(f.get_filtered_action(), np.ones(3), atol=1e-3)
+
+
+def test_numpy_reward_mirrors_match_jax():
+    """eval_tools.rewards_numpy must agree with envs.rewards / envs.imitation
+    term-for-term (reference rewards_numpy.py / custom_rewards_numpy.py are
+    literal twins of the jax versions; SURVEY §2.1 #19)."""
+    import jax.numpy as jnp
+
+    from open_duck_playground_tpu.envs import imitation, rewards as RJ
+    from open_duck_playground_tpu.eval_tools import rewards_numpy as RN
+
+    rng = np.random.default_rng(42)
+    f = lambda *shape: rng.normal(size=shape).astype(np.float32)
+
+    for _ in range(3):
+        cmd, vel3, pose14, vel14 = f(7), f(3), f(14), f(14)
+        cases = [
+            ("tracking_lin_vel", (cmd, vel3, 0.2)),
+            ("tracking_ang_vel", (cmd, vel3, 0.2)),
+            ("torques", (f(14),)),
+            ("action_rate", (f(14), f(14))),
+            ("alive", ()),
+            ("orientation", (f(3),)),
+            ("stand_still", (cmd * 0.001, pose14, vel14, f(14), True)),
+            ("stand_still", (cmd, pose14, vel14, f(14), False)),
+            ("head_pos", (pose14, vel14, cmd)),
+            ("lin_vel_z", (vel3,)),
+            ("ang_vel_xy", (vel3,)),
+            ("base_height", (1.3, 1.0)),
+            ("base_y_swing", (0.1, 1.5, 0.05, 0.3, 0.2)),
+            ("energy", (f(20), f(20))),
+            ("joint_pos_limits", (pose14, f(14) - 3, f(14) + 3)),
+            ("feet_slip", (f(2) > 0, f(2))),
+            ("feet_height", (np.abs(f(2)), f(2) > 0, 0.1)),
+            ("feet_air_time", (np.abs(f(2)), f(2) > 0, cmd)),
+            ("feet_phase", (f(2, 3), f(2))),
+        ]
+        for name, args in cases:
+            a = np.asarray(getattr(RJ, name)(*[jnp.asarray(x) if isinstance(x, np.ndarray) else x for x in args]))
+            b = np.asarray(getattr(RN, name)(*args))
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6, err_msg=name)
+
+    base_qvel, jq, jv = f(6), f(14), f(14)
+    contacts = (f(2) > 0).astype(np.float32)
+    ref_frame, cmd = f(40), f(7)
+    a = np.asarray(imitation.imitation_reward(
+        jnp.asarray(base_qvel), jnp.asarray(jq), jnp.asarray(jv),
+        jnp.asarray(contacts), jnp.asarray(ref_frame), jnp.asarray(cmd)))
+    b = np.asarray(RN.imitation_reward(base_qvel, jq, jv, contacts, ref_frame, cmd))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
