@@ -161,3 +161,59 @@ def test_export_roundtrip(tmp_path):
     }
     expected = np.asarray(N.deterministic_action(net.policy_logits(params, norm)))
     np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+def test_checkpoint_resume(tmp_path):
+    """Train briefly, checkpoint via policy_params_fn, then resume with
+    restore_checkpoint_path and confirm the restored run starts from the
+    saved parameters (reference capability: runner.py:68-84,111)."""
+    from open_duck_playground_tpu.train import checkpoint as CKPT
+
+    saved = {}
+
+    def params_fn(step, make_policy, variables):
+        saved["path"] = tmp_path / f"ckpt_{step}"
+        CKPT.save(saved["path"], variables)
+
+    common = dict(
+        num_envs=16,
+        episode_length=20,
+        unroll_length=5,
+        num_minibatches=2,
+        batch_size=8,
+        num_updates_per_batch=1,
+        num_evals=2,
+        num_eval_envs=8,
+        seed=0,
+        policy_hidden_layer_sizes=(16,),
+        value_hidden_layer_sizes=(16,),
+    )
+    _, variables, _ = ppo.train(
+        PointEnv(), num_timesteps=4_000, policy_params_fn=params_fn, **common
+    )
+    assert "path" in saved
+
+    # overwrite the checkpoint's policy weights with a sentinel value; a
+    # resumed run must start from it (a cold init would be ~N(0, small))
+    sentinel = jax.tree_util.tree_map(
+        lambda x: jnp.full_like(x, 0.777), variables[1]
+    )
+    sentinel_path = tmp_path / "ckpt_sentinel"
+    CKPT.save(sentinel_path, (variables[0], sentinel))
+
+    _, variables2, _ = ppo.train(
+        PointEnv(),
+        num_timesteps=2_000,
+        restore_checkpoint_path=str(sentinel_path),
+        **common,
+    )
+    leaves = jax.tree_util.tree_leaves(variables2[1]["policy"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    mean_abs = np.mean([np.mean(np.abs(np.asarray(l))) for l in leaves])
+    assert 0.5 < mean_abs < 1.1, mean_abs  # near the sentinel, not a cold init
+
+    restored = CKPT.restore(saved["path"], variables)
+    r_leaves = jax.tree_util.tree_leaves(restored[1])
+    s_leaves = jax.tree_util.tree_leaves(variables[1])
+    for a, b in zip(r_leaves, s_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
