@@ -46,9 +46,19 @@ class ClosedLoopRunner:
         onnx_model_path: str,
         reference_data: str | None = None,
         standing: bool = False,
+        accel_x_offset: float = 1.3,
     ):
+        # accel_x_offset replicates the reference's eval-side accelerometer
+        # quirk (mujoco_infer.py:74; a no-op in training obs). Pass 0.0 for
+        # train/eval-consistent obs — measurably better command tracking.
+        self.accel_x_offset = accel_x_offset
         self.model = compile_mjcf(model_path, timestep=0.002)
         self.data = mujoco.MjData(self.model)
+        # start from the "home" keyframe like training reset does
+        # (reference mujoco_infer_base.py:118-128)
+        key = self.model.keyframe("home")
+        self.data.qpos[:] = key.qpos
+        self.data.ctrl[:] = key.ctrl
         mujoco.mj_step(self.model, self.data)
         self.sim_dt = 0.002
         self.decimation = 10
@@ -113,7 +123,7 @@ class ClosedLoopRunner:
         d = self.data
         gyro = d.sensordata[self.gyro_slice].copy()
         accelerometer = d.sensordata[self.accel_slice].copy()
-        accelerometer[0] += 1.3
+        accelerometer[0] += self.accel_x_offset
         joint_angles = d.qpos[self.actuator_qposadr]
         joint_vel = d.qvel[self.actuator_dofadr]
         obs = [
@@ -240,9 +250,20 @@ def main(argv=None):
     parser.add_argument("--reference_data", type=str, default=str(duck_base.GAIT_PKL))
     parser.add_argument("--standing", action="store_true", default=False)
     parser.add_argument("--headless_seconds", type=float, default=None)
+    parser.add_argument(
+        "--accel_x_offset",
+        type=float,
+        default=1.3,
+        help="eval-side accelerometer x offset (reference parity quirk, "
+        "mujoco_infer.py:74); pass 0 for train-consistent obs",
+    )
     args = parser.parse_args(argv)
     runner = ClosedLoopRunner(
-        args.model_path, args.onnx_model_path, args.reference_data, args.standing
+        args.model_path,
+        args.onnx_model_path,
+        args.reference_data,
+        args.standing,
+        accel_x_offset=args.accel_x_offset,
     )
     if args.headless_seconds:
         stats = runner.run_headless(args.headless_seconds)

@@ -33,11 +33,17 @@ def test_closed_loop_headless(exported_policy):
     runner = ClosedLoopRunner(
         str(duck_base.XML_DIR / "scene_flat_terrain.xml"), exported_policy
     )
+    # must start from the "home" keyframe, standing on the floor — not
+    # qpos=0 with the base embedded in the plane (regression: missing
+    # keyframe init made every closed-loop eval sink through the floor)
+    assert float(runner.data.qpos[2]) > 0.1
     stats = runner.run_headless(1.0, commands=[0.05, 0, 0, 0, 0, 0, 0])
     # untrained policy: robot may fall but the loop must be healthy
     assert len(stats["saved_obs"]) == 50  # 50 Hz control for 1 s
     assert all(np.isfinite(o).all() for o in stats["saved_obs"])
     assert stats["saved_obs"][0].shape == (101,)
+    # and it must stay above the floor plane for this 1 s window
+    assert stats["mean_height"] > 0.05
 
 
 def test_native_runtime_matches_numpy(exported_policy):
