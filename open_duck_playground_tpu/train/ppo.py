@@ -94,6 +94,7 @@ def train(
     policy_params_fn: Callable = lambda *a: None,
     restore_checkpoint_path: Optional[str] = None,
     mesh: Optional[Mesh] = None,
+    max_env_steps_per_jit: Optional[int] = 8_192_000,
 ):
     """Returns (make_policy, (normalizer, params), metrics)."""
     assert batch_size * num_minibatches == num_envs, (
@@ -344,9 +345,20 @@ def train(
     steps_per_epoch = int(
         np.ceil(num_timesteps / (num_evals_after_init * steps_per_training_step))
     )
+    # Bound the on-device duration of a single jitted call: split the
+    # per-eval epoch into equal chunks of <= max_env_steps_per_jit env steps.
+    # Long single executions (minutes) risk device-runtime watchdogs/RPC
+    # deadlines and starve the host of progress heartbeats; chunking costs
+    # one dispatch per ~max_env_steps_per_jit steps (negligible).
+    if max_env_steps_per_jit is None:
+        n_chunks = 1
+    else:
+        max_ts = max(1, int(max_env_steps_per_jit) // steps_per_training_step)
+        n_chunks = max(1, int(np.ceil(steps_per_epoch / max_ts)))
+    chunk_steps = int(np.ceil(steps_per_epoch / n_chunks))
 
     epoch_fn = jax.jit(
-        functools.partial(training_epoch, num_steps=steps_per_epoch),
+        functools.partial(training_epoch, num_steps=chunk_steps),
         in_shardings=(replicated, data_sharding, replicated),
         out_shardings=(replicated, data_sharding, replicated, replicated),
     )
@@ -374,13 +386,14 @@ def train(
 
     while current_step < num_timesteps:
         t0 = time.monotonic()
-        training_state, env_state, epoch_key, metrics = epoch_fn(
-            training_state, env_state, epoch_key
-        )
+        for _ in range(n_chunks):
+            training_state, env_state, epoch_key, metrics = epoch_fn(
+                training_state, env_state, epoch_key
+            )
         metrics = jax.device_get(metrics)
         current_step = int(jax.device_get(training_state.env_steps))
         dt = time.monotonic() - t0
-        sps = steps_per_epoch * steps_per_training_step / dt
+        sps = chunk_steps * n_chunks * steps_per_training_step / dt
         all_metrics = {f"training/{k}": float(v) for k, v in metrics.items()}
         all_metrics["training/sps"] = sps
         do_eval_and_hooks(training_state)
