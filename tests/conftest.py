@@ -4,6 +4,12 @@ can compare against C-MuJoCo at f64 fidelity."""
 
 import os
 
+# Stash the pre-pytest JAX env (write-once: this module can be imported twice,
+# as "conftest" by pytest and as "tests.conftest" by tests) so subprocess
+# tests (test_megakernel_tpu) can reach the session's real accelerator.
+for _k in ("JAX_PLATFORM_NAME", "JAX_PLATFORMS", "XLA_FLAGS"):
+    os.environ.setdefault("_ODPT_ORIG_" + _k, os.environ.get(_k, "<unset>"))
+
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (

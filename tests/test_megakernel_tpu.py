@@ -1,0 +1,95 @@
+"""Megakernel-vs-reference-engine consistency, on real TPU hardware.
+
+The Pallas mega-kernel (physics/megakernel.py) only lowers for TPU, and its
+interpret mode compiles pathologically slowly on XLA:CPU, so this check runs
+in a subprocess against the session's real TPU backend (the main pytest
+process is pinned to the virtual CPU mesh by conftest). Skips cleanly when no
+TPU is reachable or the chip is held by another process (e.g. a training run).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def _tpu_env():
+    """Rebuild the pre-pytest JAX env from conftest's write-once stash."""
+    env = dict(os.environ)
+    for k in ("JAX_PLATFORM_NAME", "JAX_PLATFORMS", "XLA_FLAGS"):
+        v = env.pop("_ODPT_ORIG_" + k, "<unset>")
+        if v == "<unset>":
+            env.pop(k, None)
+        else:
+            env[k] = v
+    return env
+
+_SCRIPT = r"""
+import jax, jax.numpy as jnp, numpy as np
+if jax.devices()[0].platform == "cpu":
+    print("NO_TPU"); raise SystemExit(0)
+
+from open_duck_playground_tpu.models import loader
+from open_duck_playground_tpu.physics import forward as F, megakernel as MK
+from open_duck_playground_tpu.envs import duck_base
+
+m, mj = loader.load_model(
+    str(duck_base.XML_DIR / "scene_flat_terrain_backlash.xml"), timestep=0.002
+)
+B = MK.LANE_TILE
+kq, kv = jax.random.split(jax.random.PRNGKey(0))
+qpos = jnp.tile(jnp.asarray(mj.keyframe("home").qpos, jnp.float32), (B, 1))
+qpos = qpos + 0.01 * jax.random.normal(kq, qpos.shape, jnp.float32)
+qvel = 0.1 * jax.random.normal(kv, (B, m.spec.nv), jnp.float32)
+ctrl = jnp.tile(jnp.asarray(mj.keyframe("home").ctrl, jnp.float32), (B, 1))
+
+d0 = jax.jit(jax.vmap(lambda q, v, c: F.init(m, q, v, c)))(qpos, qvel, ctrl)
+step_ref = jax.jit(
+    jax.vmap(lambda dd, cc: F.step(m, dd, cc, 10, use_megakernel=False))
+)
+MK.prepare(m, 10)  # bake kernel scalars eagerly, as the envs do at construction
+step_mk = jax.jit(
+    jax.vmap(lambda dd, cc: F.step(m, dd, cc, 10, use_megakernel=True))
+)
+# Compare one control step (10 substeps) at a time, re-syncing both engines
+# to the same state each round. Criterion is distribution-based: the two
+# implementations use different contact-point selections/op orders, so a
+# small fraction of envs sitting exactly on a contact discontinuity can
+# diverge legitimately (the same class of gap MJX has vs C-MuJoCo); the
+# bulk must agree tightly.
+d = d0
+for i in range(3):
+    d_ref = step_ref(d, ctrl)
+    d_mk = step_mk(d, ctrl)
+    for f, p90_tol, out_tol in [("qpos", 1e-4, 5e-3), ("qvel", 1e-2, 5e-1)]:
+        a, b = np.asarray(getattr(d_ref, f)), np.asarray(getattr(d_mk, f))
+        per_env = np.max(np.abs(a - b), axis=1)
+        p90 = float(np.percentile(per_env, 90))
+        frac_out = float((per_env > p90_tol).mean())
+        print(i, f, "p90", p90, "max", per_env.max(), "frac_out", frac_out)
+        assert p90 < p90_tol, (i, f, p90)
+        assert per_env.max() < out_tol, (i, f, per_env.max())
+        assert frac_out < 0.15, (i, f, frac_out)
+    d = d_ref
+print("MEGAKERNEL_OK")
+"""
+
+
+def test_megakernel_matches_reference_engine_on_tpu():
+    r = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        cwd="/root/repo",
+        env=_tpu_env(),
+    )
+    out = r.stdout + r.stderr
+    if "NO_TPU" in r.stdout:
+        pytest.skip("no TPU backend available")
+    if r.returncode != 0 and ("UNAVAILABLE" in out or "already in use" in out
+                              or "Unable to initialize backend" in out):
+        pytest.skip(f"TPU not acquirable: {out[-300:]}")
+    assert r.returncode == 0, out[-3000:]
+    assert "MEGAKERNEL_OK" in r.stdout, out[-3000:]
