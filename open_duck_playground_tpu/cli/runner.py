@@ -61,6 +61,17 @@ class Runner:
         self.randomizer = domain_randomize
         self.num_timesteps = args.num_timesteps
         self.restore_checkpoint_path = args.restore_checkpoint_path
+        # Bound single-device-execution time (train/ppo.py chunking) to a
+        # ~30s budget at the measured per-path step rates: flat megakernel
+        # ~285k steps/s, hfield megakernel ~160k, jnp fallback ~25k.
+        self.max_env_steps_per_jit = args.max_env_steps_per_jit
+        if self.max_env_steps_per_jit is None:
+            if not getattr(self.env, "use_megakernel", False):
+                self.max_env_steps_per_jit = 1_000_000
+            elif args.task.startswith("rough"):
+                self.max_env_steps_per_jit = 4_000_000
+            else:
+                self.max_env_steps_per_jit = 8_192_000
         self.ppo_params = ppo_config(num_timesteps=args.num_timesteps)
         self.action_size = self.env.action_size
         self.obs_size = None  # filled in train()
@@ -118,6 +129,7 @@ class Runner:
             progress_fn=self.progress_callback,
             policy_params_fn=self.policy_params_fn,
             restore_checkpoint_path=self.restore_checkpoint_path,
+            max_env_steps_per_jit=self.max_env_steps_per_jit,
         )
         _, params, _ = train_fn(environment=self.env, eval_env=self.eval_env)
         return params
@@ -140,6 +152,13 @@ def main(argv=None) -> None:
         ],
     )
     parser.add_argument("--restore_checkpoint_path", type=str, default=None)
+    parser.add_argument(
+        "--max_env_steps_per_jit",
+        type=int,
+        default=None,
+        help="env steps per jitted training chunk (default: 8.19M on flat "
+        "tasks, 1M on rough/hfield tasks whose physics path is slower)",
+    )
     args = parser.parse_args(argv)
     Runner(args).train()
 

@@ -74,10 +74,7 @@ class DuckEnv:
         import jax
 
         if use_megakernel is None:
-            use_megakernel = (
-                jax.default_backend() == "tpu"
-                and not self._model.spec.floor_is_hfield
-            )
+            use_megakernel = jax.default_backend() == "tpu"
         self.use_megakernel = use_megakernel
         if use_megakernel:
             from open_duck_playground_tpu.physics import megakernel as MK

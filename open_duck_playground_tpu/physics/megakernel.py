@@ -35,6 +35,11 @@ from open_duck_playground_tpu.physics.types import FREE, Data, Model
 _MINVAL = 1e-15
 _MINIMP, _MAXIMP = 0.0001, 0.9999
 LANE_TILE = 128
+# Heightfield support: the kernel reads per-foot PxP local height patches
+# (world-frame z) extracted around each foot's previous-step site position by
+# the host wrapper — a full 256x256 hfield would need per-lane gathers the
+# VPU doesn't have, but an 8x8 patch lookup is two cheap one-hot contractions.
+HFIELD_PATCH = 8
 INTERPRET = False  # set True to run the kernel in interpreter mode (CPU tests)
 DEBUG = False  # adds solver-internal debug outputs (validation only)
 
@@ -114,7 +119,7 @@ def _kb(solref, solimp):
 def _build_kernel(m: Model, n_substeps: int):
     s = m.spec
     nq, nv, nu, nbody, njnt = s.nq, s.nv, s.nu, s.nbody, s.njnt
-    assert not s.floor_is_hfield, "megakernel supports plane floors only"
+    IS_HFIELD = s.floor_is_hfield
 
     g = lambda x: np.asarray(x, np.float32)
     jnt_range = g(m.jnt_range)
@@ -137,6 +142,47 @@ def _build_kernel(m: Model, n_substeps: int):
     con_solref = tuple(float(v) for v in np.asarray(m.geom_solref[floor_gid]))
     con_solimp = tuple(float(v) for v in np.asarray(m.geom_solimp[floor_gid]))
     k_con, b_con = _kb(con_solref, con_solimp)
+
+    hf = None
+    if IS_HFIELD:
+        # hfield must be world-axis-aligned at the world origin (true of the
+        # duck's rough scenes; same assumption as the jnp fallback,
+        # collision.py:102): a static jointless body chain, identity poses
+        b_walk = floor_body
+        while b_walk != 0:
+            assert s.body_jntnum[b_walk] == 0, "hfield body must be static"
+            assert np.allclose(np.asarray(m.body_pos[b_walk]), 0.0), (
+                "offset hfield body unsupported")
+            assert np.allclose(
+                np.asarray(m.body_quat[b_walk]), [1.0, 0, 0, 0]
+            ), "rotated hfield body unsupported"
+            b_walk = s.body_parentid[b_walk]
+        fq = np.asarray(m.geom_quat[floor_gid])
+        assert abs(float(fq[0]) - 1.0) < 1e-6, "rotated hfield unsupported"
+        hsz = np.asarray(m.hfield_size, np.float64)
+        fp = np.asarray(m.geom_pos[floor_gid], np.float64)
+        ncol_h, nrow_h = s.hfield_ncol, s.hfield_nrow
+        dxh = 2.0 * float(hsz[0]) / (ncol_h - 1)
+        dyh = 2.0 * float(hsz[1]) / (nrow_h - 1)
+        # one site per foot body gives the patch center (previous-step pose)
+        foot_site = []
+        for gid in s.collide_geom_ids:
+            b = s.geom_bodyid[gid]
+            sites = [i for i, sb in enumerate(s.site_bodyid) if sb == b]
+            assert sites, f"foot body {b} needs a site for hfield patches"
+            foot_site.append(sites[0])
+        hf = dict(
+            x0w=float(fp[0] - hsz[0]),  # world x of grid column 0
+            y0w=float(fp[1] - hsz[1]),
+            zw=float(fp[2]),
+            zscale=float(hsz[2]),
+            dxh=dxh,
+            dyh=dyh,
+            ncol=ncol_h,
+            nrow=nrow_h,
+            P=HFIELD_PATCH,
+            foot_site=tuple(foot_site),
+        )
 
     anc_np = np.asarray(m.ancestor_mask, np.float32)
 
@@ -204,10 +250,17 @@ def _build_kernel(m: Model, n_substeps: int):
         (qpos_ref, qvel_ref, ctrl_ref, warm_ref, qpos0_ref, gain0_ref,
          bias0_ref, bias1_ref, bias2_ref, fl_ref, arma_ref, mass_ref,
          ipos_ref, mu_ref) = refs[:14]
-        cdict = dict(zip(const_names, refs[14 : 14 + len(const_names)]))
-        out_refs = refs[14 + len(const_names):]
+        base = 14
+        if IS_HFIELD:
+            patch_ref, porig_ref = refs[14:16]
+            base = 16
+        cdict = dict(zip(const_names, refs[base : base + len(const_names)]))
+        out_refs = refs[base + len(const_names):]
 
         C = {k: v[:] for k, v in cdict.items()}
+        if IS_HFIELD:
+            patch_all = patch_ref[:]  # (nfoot*P, P, T) world-frame heights
+            porig = porig_ref[:]  # (2*nfoot, T): ox_f0, oy_f0, ox_f1, oy_f1
         ctrl = ctrl_ref[:]
         qpos0 = qpos0_ref[:]
         gain0, bias0, bias1, bias2 = (
@@ -497,13 +550,14 @@ def _build_kernel(m: Model, n_substeps: int):
             Lm = chol(M)
             qacc_smooth = chol_solve(Lm, qfrc_smooth)
 
-            # ----- collision (hull vs plane)
-            fq4 = cvec("geom_quat", floor_gid) + 0.0 * xquat[0]
-            nrm = lquat_rotate(fq4, jnp.stack([zeroT, zeroT, oneT]))
-            fb_pos = xpos[floor_body] + lquat_rotate(
-                xquat[floor_body], cvec("geom_pos", floor_gid) + zero3
-            )
-            con_dist, con_pos, con_foot = [], [], []
+            # ----- collision (hull vs plane | hfield patch)
+            con_dist, con_pos, con_foot, con_nrm = [], [], [], []
+            if not IS_HFIELD:
+                fq4 = cvec("geom_quat", floor_gid) + 0.0 * xquat[0]
+                nrm = lquat_rotate(fq4, jnp.stack([zeroT, zeroT, oneT]))
+                fb_pos = xpos[floor_body] + lquat_rotate(
+                    xquat[floor_body], cvec("geom_pos", floor_gid) + zero3
+                )
             for fi, gid in enumerate(s.collide_geom_ids):
                 b = s.geom_bodyid[gid]
                 gp = xpos[b] + lquat_rotate(xquat[b], cvec("geom_pos", gid) + zero3)
@@ -512,7 +566,60 @@ def _build_kernel(m: Model, n_substeps: int):
                 verts = gp[None] + lquat_rotate(
                     gq[None], hull[:, :, None] + 0.0 * gp[None]
                 )
-                dvert = jnp.sum((verts - fb_pos[None]) * nrm[None], axis=1)
+                if IS_HFIELD:
+                    # bilinear-triangle height under each vertex, from the
+                    # per-foot PxP world-frame patch (one-hot contractions
+                    # instead of per-lane gathers; collision.py:44-73)
+                    PP = hf["P"]
+                    pf = patch_all[fi * PP : (fi + 1) * PP]  # (P,P,T): [j,i,:]
+                    ox = porig[2 * fi]
+                    oy = porig[2 * fi + 1]
+                    fx = jnp.clip(
+                        (verts[:, 0, :] - ox[None, :]) * (1.0 / hf["dxh"]),
+                        0.0, PP - 1.001,
+                    )
+                    fy = jnp.clip(
+                        (verts[:, 1, :] - oy[None, :]) * (1.0 / hf["dyh"]),
+                        0.0, PP - 1.001,
+                    )
+                    iw = fx.astype(jnp.int32)  # fx >= 0: trunc == floor
+                    jw = fy.astype(jnp.int32)
+                    u = fx - iw.astype(f32)
+                    v = fy - jw.astype(f32)
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (nvert, PP, T), 1
+                    )
+                    ohi = (iota == iw[:, None, :]).astype(f32)
+                    ohi1 = (iota == (iw + 1)[:, None, :]).astype(f32)
+                    ohj = (iota == jw[:, None, :]).astype(f32)
+                    ohj1 = (iota == (jw + 1)[:, None, :]).astype(f32)
+                    row0 = jnp.sum(ohj[:, :, None, :] * pf[None], axis=1)
+                    row1 = jnp.sum(ohj1[:, :, None, :] * pf[None], axis=1)
+                    z00 = jnp.sum(row0 * ohi, axis=1)
+                    z10 = jnp.sum(row0 * ohi1, axis=1)
+                    z01 = jnp.sum(row1 * ohi, axis=1)
+                    z11 = jnp.sum(row1 * ohi1, axis=1)
+                    lower = u + v <= 1.0  # cell split along the (+x,+y) diag
+                    h = jnp.where(
+                        lower,
+                        z00 + u * (z10 - z00) + v * (z01 - z00),
+                        z11 + (1 - u) * (z01 - z11) + (1 - v) * (z10 - z11),
+                    )
+                    nx = jnp.where(
+                        lower,
+                        -(z10 - z00) * (1.0 / hf["dxh"]),
+                        (z01 - z11) * (1.0 / hf["dxh"]),
+                    )
+                    ny = jnp.where(
+                        lower,
+                        -(z01 - z00) * (1.0 / hf["dyh"]),
+                        (z10 - z11) * (1.0 / hf["dyh"]),
+                    )
+                    ninv = 1.0 / jnp.sqrt(nx * nx + ny * ny + 1.0)
+                    vert_nrm = jnp.stack([nx * ninv, ny * ninv, ninv], axis=1)
+                    dvert = (verts[:, 2, :] - h) * ninv  # (vz-h) onto normal
+                else:
+                    dvert = jnp.sum((verts - fb_pos[None]) * nrm[None], axis=1)
                 dmask = dvert
                 for _k in range(k_pts):
                     idx = jnp.argmin(dmask, axis=0)
@@ -522,20 +629,29 @@ def _build_kernel(m: Model, n_substeps: int):
                     ).astype(f32)
                     dist_k = jnp.sum(oh * dvert, axis=0)
                     vsel = jnp.sum(oh[:, None, :] * verts, axis=0)
-                    pos_k = vsel - 0.5 * dist_k[None, :] * nrm
+                    nrm_k = (
+                        jnp.sum(oh[:, None, :] * vert_nrm, axis=0)
+                        if IS_HFIELD
+                        else nrm
+                    )
+                    pos_k = vsel - 0.5 * dist_k[None, :] * nrm_k
                     con_dist.append(dist_k)
                     con_pos.append(pos_k)
                     con_foot.append(fi)
+                    con_nrm.append(nrm_k)
                     dmask = jnp.where(oh > 0, 1e9 + zeroT[None, :], dmask)
             contact_dist = jnp.stack(con_dist, axis=0)
 
             ex = jnp.stack([oneT, zeroT, zeroT])
             ey = jnp.stack([zeroT, oneT, zeroT])
-            use_x = (jnp.abs(nrm[0]) <= jnp.abs(nrm[1]))[None, :]
-            ref_v = jnp.where(use_x, ex, ey)
-            t1 = lcross(nrm, ref_v)
-            t1 = t1 / jnp.sqrt(jnp.sum(t1 * t1, axis=0, keepdims=True))
-            t2 = lcross(nrm, t1)
+
+            def contact_frame(nrm_c):
+                """mju_makeFrame tangents for one contact normal (3,T)."""
+                use_x = (jnp.abs(nrm_c[0]) <= jnp.abs(nrm_c[1]))[None, :]
+                ref_v = jnp.where(use_x, ex, ey)
+                t1 = lcross(nrm_c, ref_v)
+                t1 = t1 / jnp.sqrt(jnp.sum(t1 * t1, axis=0, keepdims=True))
+                return t1, lcross(nrm_c, t1)
 
             # ----- efc rows
             J_rows, aref_rows, D_rows, R_rows = [], [], [], []
@@ -575,6 +691,8 @@ def _build_kernel(m: Model, n_substeps: int):
                 invw = float(inv_trn[b] + inv_trn[floor_body])
                 p = con_pos[ci]
                 dist = con_dist[ci]
+                nrm_c = con_nrm[ci]
+                t1, t2 = contact_frame(nrm_c)
                 active = dist < 0.0
                 imp = _impedance(con_solimp, dist)
                 jp = C["anc_mask11"][b] * (
@@ -585,7 +703,7 @@ def _build_kernel(m: Model, n_substeps: int):
                 r = jnp.maximum((1 - imp) / imp * diag, _MINVAL)
                 for t_vec in (t1, t2):
                     for sgn in (1.0, -1.0):
-                        d_vec = nrm + sgn * mu[None, :] * t_vec
+                        d_vec = nrm_c + sgn * mu[None, :] * t_vec
                         Jrow = jnp.sum(jp * d_vec[None], axis=1)
                         vel = jnp.sum(Jrow * qvel, axis=0)
                         aref = -b_con * vel - k_con * imp * dist
@@ -802,7 +920,7 @@ def _build_kernel(m: Model, n_substeps: int):
             dbg_qacc_smooth=(nv,), dbg_qfrc_bias=(nv,), dbg_qfrc_smooth=(nv,),
             dbg_mdiag=(nv,), dbg_aref=(nefc,), dbg_D=(nefc,), dbg_grad0=(nv,),
         )
-    return kernel, const_values, out_shapes
+    return kernel, const_values, out_shapes, hf
 
 
 _KERNEL_CACHE = {}
@@ -829,7 +947,7 @@ def megakernel_step_batched(m: Model, d: Data, ctrl: jnp.ndarray,
     key = (id(s), n_substeps, tile)
     if key not in _KERNEL_CACHE:
         prepare(m, n_substeps, tile)  # raises if the model is traced
-    kernel, const_values, out_shapes = _KERNEL_CACHE[key]
+    kernel, const_values, out_shapes, hf = _KERNEL_CACHE[key]
 
     def bcast(x, shape):
         x = jnp.asarray(x, jnp.float32)
@@ -857,6 +975,33 @@ def megakernel_step_batched(m: Model, d: Data, ctrl: jnp.ndarray,
         lane(bias1), lane(bias2), lane(fl), lane(arma), lane(mass),
         lane(ipos), lane(mu),
     ]
+    if hf is not None:
+        # per-foot PxP world-frame height patch around each foot's
+        # previous-step site position (feet move <~2cm per control step —
+        # far inside the patch half-width)
+        P, nfoot = hf["P"], len(s.collide_geom_ids)
+        centers = d.site_xpos[:, list(hf["foot_site"]), :2]  # (B,nfoot,2)
+        gx = (centers[..., 0] - hf["x0w"]) / hf["dxh"]
+        gy = (centers[..., 1] - hf["y0w"]) / hf["dyh"]
+        i0 = jnp.clip(
+            jnp.floor(gx).astype(jnp.int32) - P // 2 + 1, 0, hf["ncol"] - P
+        )
+        j0 = jnp.clip(
+            jnp.floor(gy).astype(jnp.int32) - P // 2 + 1, 0, hf["nrow"] - P
+        )
+        hdat = (
+            jnp.asarray(m.hfield_data, jnp.float32) * hf["zscale"] + hf["zw"]
+        )
+        patch = jax.vmap(
+            jax.vmap(lambda jj, ii: jax.lax.dynamic_slice(hdat, (jj, ii), (P, P)))
+        )(j0, i0)  # (B, nfoot, P, P)
+        ox = hf["x0w"] + i0.astype(jnp.float32) * hf["dxh"]
+        oy = hf["y0w"] + j0.astype(jnp.float32) * hf["dyh"]
+        porig = jnp.stack([ox, oy], axis=-1).reshape(B, nfoot * 2)
+        lane_inputs += [
+            lane(patch.reshape(B, nfoot * P, P)),
+            lane(porig.astype(jnp.float32)),
+        ]
     const_inputs = [jnp.asarray(c) for c in const_values]
 
     grid = (B // tile,)

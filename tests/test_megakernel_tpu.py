@@ -34,13 +34,19 @@ from open_duck_playground_tpu.models import loader
 from open_duck_playground_tpu.physics import forward as F, megakernel as MK
 from open_duck_playground_tpu.envs import duck_base
 
-m, mj = loader.load_model(
-    str(duck_base.XML_DIR / "scene_flat_terrain_backlash.xml"), timestep=0.002
-)
+import sys
+scene = sys.argv[1]
+m, mj = loader.load_model(str(duck_base.XML_DIR / scene), timestep=0.002)
 B = MK.LANE_TILE
 kq, kv = jax.random.split(jax.random.PRNGKey(0))
 qpos = jnp.tile(jnp.asarray(mj.keyframe("home").qpos, jnp.float32), (B, 1))
 qpos = qpos + 0.01 * jax.random.normal(kq, qpos.shape, jnp.float32)
+if m.spec.floor_is_hfield:
+    # scatter envs across the terrain so per-foot height patches differ
+    kxy = jax.random.PRNGKey(7)
+    qpos = qpos.at[:, :2].add(
+        jax.random.uniform(kxy, (B, 2), jnp.float32, -3.0, 3.0)
+    )
 qvel = 0.1 * jax.random.normal(kv, (B, m.spec.nv), jnp.float32)
 ctrl = jnp.tile(jnp.asarray(mj.keyframe("home").ctrl, jnp.float32), (B, 1))
 
@@ -76,9 +82,13 @@ print("MEGAKERNEL_OK")
 """
 
 
-def test_megakernel_matches_reference_engine_on_tpu():
+@pytest.mark.parametrize(
+    "scene",
+    ["scene_flat_terrain_backlash.xml", "scene_rough_terrain_backlash.xml"],
+)
+def test_megakernel_matches_reference_engine_on_tpu(scene):
     r = subprocess.run(
-        [sys.executable, "-c", _SCRIPT],
+        [sys.executable, "-c", _SCRIPT, scene],
         capture_output=True,
         text=True,
         timeout=1200,
