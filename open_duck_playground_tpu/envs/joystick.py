@@ -116,6 +116,14 @@ class Joystick(DuckEnv):
     def _post_init(self) -> None:
         mj = self._mj_model
         self._init_q = jnp.asarray(mj.key_qpos[0], jnp.float32)
+        if self._model.spec.floor_is_hfield:
+            # the "home" keyframe is authored for the flat floor (z=0); on a
+            # heightfield the feet would spawn up to size[2] inside the
+            # terrain, and the resulting solver kick tips the robot over —
+            # spawn above the tallest terrain point instead (feet settle in
+            # a few frames under the position servos)
+            lift = float(self._model.hfield_size[2]) + 0.002
+            self._init_q = self._init_q.at[2].add(lift)
         self._default_actuator = jnp.asarray(mj.key_ctrl[0], jnp.float32)
 
         self.gait = (

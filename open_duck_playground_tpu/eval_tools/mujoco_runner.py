@@ -58,6 +58,11 @@ class ClosedLoopRunner:
         # (reference mujoco_infer_base.py:118-128)
         key = self.model.keyframe("home")
         self.data.qpos[:] = key.qpos
+        if self.model.nhfield > 0:
+            # keyframe is authored for the flat floor: spawn above the
+            # tallest terrain point so the feet don't start inside the
+            # heightfield (the solver kick would tip the robot over)
+            self.data.qpos[2] += float(self.model.hfield_size[0][2]) + 0.002
         self.data.ctrl[:] = key.ctrl
         mujoco.mj_step(self.model, self.data)
         self.sim_dt = 0.002

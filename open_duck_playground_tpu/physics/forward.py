@@ -128,8 +128,9 @@ def step(
     sim-rate decimation, reference joystick.py:51-52: 0.02/0.002 = 10).
 
     With use_megakernel=True the whole loop runs as one Pallas TPU kernel
-    when this call is vmapped over an env batch (physics/megakernel.py);
-    unbatched calls and non-tile-aligned batches fall back to this jnp path.
+    when this call is vmapped over an env batch (physics/megakernel.py;
+    plane and heightfield floors); unbatched calls and non-tile-aligned
+    batches fall back to this jnp path.
     """
     if use_megakernel:
         return _megakernel_cv(n_substeps)(m, d, ctrl)

@@ -14,9 +14,12 @@ Model data enters two ways: the 8 domain-randomized fields (reference
 randomize.py:119-131) are per-env lane tensors; immutable structural arrays
 (frames, limits, masks, hull vertices, ...) are broadcast kernel inputs
 (Pallas forbids captured array constants). Scalars (solref-derived gains,
-timestep) are baked as python floats. Math is identical to the
+timestep) are baked as python floats. Heightfield floors are supported via
+per-foot local height patches sliced host-side around each foot's
+previous-step site position and interpolated in-kernel with one-hot
+contractions (the VPU has no per-lane gather). Math is identical to the
 oracle-validated jnp engine (physics/forward.py et al.), which remains the
-reference implementation and the CPU/hfield/odd-batch fallback.
+reference implementation and the CPU/odd-batch fallback.
 """
 
 from __future__ import annotations
