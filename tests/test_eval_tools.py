@@ -142,3 +142,30 @@ def test_numpy_reward_mirrors_match_jax():
         jnp.asarray(contacts), jnp.asarray(ref_frame), jnp.asarray(cmd)))
     b = np.asarray(RN.imitation_reward(base_qvel, jq, jv, contacts, ref_frame, cmd))
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_passive_stand_all_scenes():
+    """With the home keyframe + position servos and NO policy, the duck must
+    stand in C-MuJoCo on every scene for 2 simulated seconds (regression:
+    hfield spawns used to start the feet inside the terrain and tip the
+    robot over; this also pins the keyframe/scene assets as self-consistent)."""
+    import mujoco
+
+    from open_duck_playground_tpu.models.loader import compile_mjcf
+
+    for scene in [
+        "scene_flat_terrain.xml",
+        "scene_flat_terrain_backlash.xml",
+        "scene_rough_terrain.xml",
+        "scene_rough_terrain_backlash.xml",
+    ]:
+        mj = compile_mjcf(str(duck_base.XML_DIR / scene), timestep=0.002)
+        d = mujoco.MjData(mj)
+        key = mj.keyframe("home")
+        d.qpos[:] = key.qpos
+        if mj.nhfield > 0:
+            d.qpos[2] += float(mj.hfield_size[0][2]) + 0.002
+        d.ctrl[:] = key.ctrl
+        for _ in range(1000):
+            mujoco.mj_step(mj, d)
+        assert d.qpos[2] > 0.12, (scene, float(d.qpos[2]))
