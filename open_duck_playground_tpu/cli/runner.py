@@ -157,7 +157,8 @@ def main(argv=None) -> None:
         type=int,
         default=None,
         help="env steps per jitted training chunk (default: 8.19M on flat "
-        "tasks, 1M on rough/hfield tasks whose physics path is slower)",
+        "megakernel tasks, 4M on rough/hfield megakernel tasks, 1M on the "
+        "slower non-megakernel fallback path)",
     )
     args = parser.parse_args(argv)
     Runner(args).train()

@@ -69,8 +69,8 @@ class DuckEnv:
             xml_path, timestep=self._config.sim_dt, dtype=dtype
         )
 
-        # physics backend: the Pallas megakernel on TPU (plane floors), the
-        # jnp reference engine elsewhere
+        # physics backend: the Pallas megakernel on TPU (plane and
+        # heightfield floors), the jnp reference engine elsewhere
         import jax
 
         if use_megakernel is None:

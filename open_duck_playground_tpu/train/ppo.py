@@ -386,11 +386,17 @@ def train(
 
     while current_step < num_timesteps:
         t0 = time.monotonic()
+        chunk_metrics = []
         for _ in range(n_chunks):
             training_state, env_state, epoch_key, metrics = epoch_fn(
                 training_state, env_state, epoch_key
             )
-        metrics = jax.device_get(metrics)
+            chunk_metrics.append(metrics)
+        # mean over chunks so the logged epoch metrics cover the whole
+        # per-eval period, not just the last jitted chunk
+        metrics = jax.device_get(
+            jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *chunk_metrics)
+        )
         current_step = int(jax.device_get(training_state.env_steps))
         dt = time.monotonic() - t0
         sps = chunk_steps * n_chunks * steps_per_training_step / dt

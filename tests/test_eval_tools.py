@@ -128,6 +128,10 @@ def test_numpy_reward_mirrors_match_jax():
             ("feet_height", (np.abs(f(2)), f(2) > 0, 0.1)),
             ("feet_air_time", (np.abs(f(2)), f(2) > 0, cmd)),
             ("feet_phase", (f(2, 3), f(2))),
+            ("feet_clearance", (f(2, 3), f(2, 3), 0.08)),
+            ("joint_deviation", (pose14, np.arange(5), f(14), 1.0)),
+            ("pose", (pose14, f(14), np.abs(f(14)))),
+            ("termination", (1.0,)),
         ]
         for name, args in cases:
             a = np.asarray(getattr(RJ, name)(*[jnp.asarray(x) if isinstance(x, np.ndarray) else x for x in args]))

@@ -92,7 +92,7 @@ def test_megakernel_matches_reference_engine_on_tpu(scene):
         capture_output=True,
         text=True,
         timeout=1200,
-        cwd="/root/repo",
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=_tpu_env(),
     )
     out = r.stdout + r.stderr
