@@ -189,6 +189,29 @@ def _build_kernel(m: Model, n_substeps: int):
 
     anc_np = np.asarray(m.ancestor_mask, np.float32)
 
+    # CRBA structure: desc[b, d] = 1 iff body b is an ancestor-or-self of
+    # body d (so IC[b] = sum of body spatial inertias over subtree(b)), and
+    # dofpair[i, j] = 1 iff dof j supports M's row i strictly at-or-below
+    # the diagonal: j on a strict-ancestor body of dof i's body, or on the
+    # same body with j <= i (same-body pairs must appear in ONE triangle
+    # only — Mlow + Mlow^T would double-count them otherwise).
+    dofbody = [int(b) for b in s.dof_bodyid]
+    desc_np = np.zeros((nbody, nbody), np.float32)
+    for d_ in range(nbody):
+        b_walk = d_
+        while True:
+            desc_np[b_walk, d_] = 1.0
+            if b_walk == 0:
+                break
+            b_walk = int(s.body_parentid[b_walk])
+    dofpair_np = np.zeros((nv, nv), np.float32)
+    for i_ in range(nv):
+        for j_ in range(nv):
+            if dofbody[j_] == dofbody[i_]:
+                dofpair_np[i_, j_] = 1.0 if j_ <= i_ else 0.0
+            else:
+                dofpair_np[i_, j_] = anc_np[dofbody[i_], j_]
+
     fd = [int(i) for i in s.friction_dofs]
     lim_j = [int(j) for j in structure.limited_hinges(s)]
     lim_q = [s.jnt_qposadr[j] for j in lim_j]
@@ -242,7 +265,8 @@ def _build_kernel(m: Model, n_substeps: int):
         ftm=structure.free_trans_mask(s).astype(np.float32).reshape(nv, 1, 1),
         eye_nv=np.eye(nv, dtype=np.float32),
         eye_nv1=np.eye(nv, dtype=np.float32).reshape(nv, nv, 1),
-        tril_nv=np.tril(np.ones((nv, nv), np.float32)),
+        desc_mask=desc_np,
+        dofpair1=dofpair_np.reshape(nv, nv, 1),
     )
     const_names = list(CONSTS.keys())
     const_values = [CONSTS[k] for k in const_names]
@@ -279,7 +303,6 @@ def _build_kernel(m: Model, n_substeps: int):
         f32 = jnp.float32
         anc = C["anc_mask"]
         eye = C["eye_nv"]
-        tril = C["tril_nv"]
 
         def cvec(tab, i):
             return C[tab][i][:, None]
@@ -401,6 +424,7 @@ def _build_kernel(m: Model, n_substeps: int):
             )
             cacc_dofsum = mask_dot(anc, vdofdot)
             fsum = 0.0 * cdof
+            ib_list: List = []
             for b in range(1, nbody):
                 mass = body_mass[b]
                 R = ximat[b]
@@ -461,21 +485,7 @@ def _build_kernel(m: Model, n_substeps: int):
                     ],
                     axis=0,
                 )
-
-                jb = cdof * C["anc_mask11"][b]
-                kb = jnp.stack(
-                    [
-                        sum(ib[i, jj, :][None, :] * jb[:, jj, :] for jj in range(6))
-                        for i in range(6)
-                    ],
-                    axis=1,
-                )
-                contrib = jb[:, 0, :][:, None, :] * kb[:, 0, :][None, :, :]
-                for i in range(1, 6):
-                    contrib = contrib + (
-                        jb[:, i, :][:, None, :] * kb[:, i, :][None, :, :]
-                    )
-                M = M + contrib
+                ib_list.append(ib)
 
                 acc_b = grav + cacc_dofsum[b]
                 iacc = jnp.stack(
@@ -497,6 +507,29 @@ def _build_kernel(m: Model, n_substeps: int):
                 fsum = fsum + C["anc_mask11"][b] * f_b[None, :, :]
 
             qfrc_bias = jnp.sum(cdof * fsum, axis=1)
+
+            # ----- mass matrix via CRBA: composite (subtree) inertias from a
+            # descendant-mask reduction (one MXU matmul over bodies), then
+            # M[i,j] = (IC[body(i)] @ cdof_i) . cdof_j on the ancestor-pair
+            # support — O(nv^2*6) instead of the O(nbody*nv^2*6) per-body
+            # J^T I J accumulation.
+            ib_stack = jnp.stack([0.0 * ib_list[0]] + ib_list, axis=0)
+            IC = mask_dot(
+                C["desc_mask"], ib_stack.reshape(nbody, 36, T)
+            ).reshape(nbody, 6, 6, T)
+            ICdof = jnp.stack([IC[dofbody[i]] for i in range(nv)], axis=0)
+            fC = jnp.sum(ICdof * cdof[:, None, :, :], axis=2)  # (nv,6,T)
+            mdiag = jnp.sum(fC * cdof, axis=1)  # (nv,T)
+            Mlow = fC[:, 0, :][:, None, :] * cdof[:, 0, :][None, :, :]
+            for k in range(1, 6):
+                Mlow = Mlow + fC[:, k, :][:, None, :] * cdof[:, k, :][None, :, :]
+            Mlow = C["dofpair1"] * Mlow
+            M = (
+                M
+                + Mlow
+                + jnp.swapaxes(Mlow, 0, 1)
+                - C["eye_nv1"] * mdiag[:, None, :]
+            )
 
             # ----- passive + actuation
             qfrc_passive = jnp.stack(
@@ -527,28 +560,48 @@ def _build_kernel(m: Model, n_substeps: int):
             )
             qfrc_smooth = qfrc_passive - qfrc_bias + qfrc_actuator
 
-            # ----- in-VMEM cholesky
+            # ----- in-VMEM cholesky (right-looking, trailing submatrix only:
+            # the update at step k touches (nv-k)^2 entries, nv^3/3 total —
+            # 3x less VPU work than updating the full matrix every step)
             def chol(Mm):
-                A = Mm
+                rem = Mm
                 cols = []
                 for kk in range(nv):
-                    piv = jnp.sqrt(jnp.maximum(A[kk, kk, :], 1e-12))
-                    col = (A[:, kk, :] / piv[None, :]) * tril[:, kk][:, None]
-                    cols.append(col)
-                    A = A - col[:, None, :] * col[None, :, :]
+                    piv = jnp.sqrt(jnp.maximum(rem[0, 0, :], 1e-12))
+                    col_t = rem[:, 0, :] / piv[None, :]  # (nv-kk, T)
+                    if kk:
+                        cols.append(
+                            jnp.concatenate(
+                                [jnp.zeros((kk, T), f32), col_t], axis=0
+                            )
+                        )
+                    else:
+                        cols.append(col_t)
+                    if kk < nv - 1:
+                        tail = col_t[1:]
+                        rem = (
+                            rem[1:, 1:, :]
+                            - tail[:, None, :] * tail[None, :, :]
+                        )
                 return jnp.stack(cols, axis=1)  # (nv, nv, T) lower factor
 
             def chol_solve(L, bb):
-                x = 0.0 * bb
+                # forward/back substitution with a running accumulator of
+                # finished columns' contributions (no per-step masked writes)
+                rows: List = []
+                acc = 0.0 * bb
                 for kk in range(nv):
-                    xk = (bb[kk] - jnp.sum(L[kk, :, :] * x, axis=0)) / L[kk, kk, :]
-                    x = x + xk[None, :] * eye[kk][:, None]
-                Lt = jnp.swapaxes(L, 0, 1)  # rows of Lt = columns of L
-                y = 0.0 * bb
+                    xk = (bb[kk] - acc[kk]) / L[kk, kk, :]
+                    rows.append(xk)
+                    acc = acc + L[:, kk, :] * xk[None, :]
+                x = jnp.stack(rows, axis=0)
+                rows2: List = [None] * nv
+                acc2 = 0.0 * bb
                 for kk in range(nv - 1, -1, -1):
-                    yk = (x[kk] - jnp.sum(Lt[kk, :, :] * y, axis=0)) / L[kk, kk, :]
-                    y = y + yk[None, :] * eye[kk][:, None]
-                return y
+                    yk = (x[kk] - acc2[kk]) / L[kk, kk, :]
+                    rows2[kk] = yk
+                    acc2 = acc2 + L[kk, :, :] * yk[None, :]
+                return jnp.stack(rows2, axis=0)
 
             Lm = chol(M)
             qacc_smooth = chol_solve(Lm, qfrc_smooth)
@@ -768,8 +821,15 @@ def _build_kernel(m: Model, n_substeps: int):
                 jar = jmul(x) - aref
                 gg, hh = force_hess(jar)
                 grad = mmul(x - qacc_smooth) + jtmul(gg)
-                H = M
-                for e in range(nefc):
+                # dof-friction and joint-limit rows have single-dof Jacobians
+                # (+-e_dof), so their J^T diag(h) J contribution is purely
+                # diagonal; only contact rows need rank-1 outer products.
+                hd_rows = [zeroT] * nv
+                for e, dof in enumerate(fd + lim_d):
+                    hd_rows[dof] = hd_rows[dof] + hh[e]
+                hdiag = jnp.stack(hd_rows, axis=0)  # (nv, T)
+                H = M + C["eye_nv1"] * hdiag[:, None, :]
+                for e in range(nfric + nlim, nefc):
                     H = H + (hh[e] * J[e][:, None, :]) * J[e][None, :, :]
                 Lh = chol(H)
                 dxn = -chol_solve(Lh, grad)
