@@ -263,10 +263,11 @@ def _build_kernel(m: Model, n_substeps: int):
         anc_mask11=anc_np.reshape(nbody, nv, 1, 1),
         pred_mask=structure.dof_pred_mask(s).astype(np.float32),
         ftm=structure.free_trans_mask(s).astype(np.float32).reshape(nv, 1, 1),
-        eye_nv=np.eye(nv, dtype=np.float32),
         eye_nv1=np.eye(nv, dtype=np.float32).reshape(nv, nv, 1),
         desc_mask=desc_np,
         dofpair1=dofpair_np.reshape(nv, nv, 1),
+        body_inertia3=body_inertia.reshape(nbody, 1, 3, 1),
+        eye3_b=np.eye(3, dtype=np.float32).reshape(1, 3, 3, 1),
     )
     const_names = list(CONSTS.keys())
     const_values = [CONSTS[k] for k in const_names]
@@ -302,7 +303,6 @@ def _build_kernel(m: Model, n_substeps: int):
         T = qpos_ref.shape[-1]
         f32 = jnp.float32
         anc = C["anc_mask"]
-        eye = C["eye_nv"]
 
         def cvec(tab, i):
             return C[tab][i][:, None]
@@ -423,97 +423,64 @@ def _build_kernel(m: Model, n_substeps: int):
                 [zeroT, zeroT, zeroT, -gx * oneT, -gy * oneT, -gz * oneT], axis=0
             )
             cacc_dofsum = mask_dot(anc, vdofdot)
-            fsum = 0.0 * cdof
-            ib_list: List = []
-            for b in range(1, nbody):
-                mass = body_mass[b]
-                R = ximat[b]
-                I3 = [float(v) for v in body_inertia[b]]
-                ricr = jnp.stack(
-                    [
-                        jnp.stack(
-                            [
-                                sum(R[i, k, :] * I3[k] * R[jj, k, :] for k in range(3))
-                                for jj in range(3)
-                            ],
-                            0,
-                        )
-                        for i in range(3)
-                    ],
-                    0,
-                )
-                c = xipos[b] - com
-                c0, c1, c2 = c[0], c[1], c[2]
-                cx = jnp.stack(
-                    [
-                        jnp.stack([zeroT, -c2, c1], 0),
-                        jnp.stack([c2, zeroT, -c0], 0),
-                        jnp.stack([-c1, c0, zeroT], 0),
-                    ],
-                    0,
-                )
-                cxcxT = jnp.stack(
-                    [
-                        jnp.stack(
-                            [
-                                sum(cx[i, k, :] * cx[jj, k, :] for k in range(3))
-                                for jj in range(3)
-                            ],
-                            0,
-                        )
-                        for i in range(3)
-                    ],
-                    0,
-                )
-                mN = mass[None, None, :]
-                tl = ricr + mN * cxcxT
-                tr = mN * cx
-                bl = mN * jnp.swapaxes(cx, 0, 1)
-                ident3 = jnp.stack(
-                    [
-                        jnp.stack([oneT, zeroT, zeroT], 0),
-                        jnp.stack([zeroT, oneT, zeroT], 0),
-                        jnp.stack([zeroT, zeroT, oneT], 0),
-                    ],
-                    0,
-                )
-                br = mN * ident3
-                ib = jnp.concatenate(
-                    [
-                        jnp.concatenate([tl, tr], axis=1),
-                        jnp.concatenate([bl, br], axis=1),
-                    ],
-                    axis=0,
-                )
-                ib_list.append(ib)
 
-                acc_b = grav + cacc_dofsum[b]
-                iacc = jnp.stack(
-                    [sum(ib[i, jj, :] * acc_b[jj] for jj in range(6)) for i in range(6)],
-                    0,
-                )
-                v_b = cvel[b]
-                iv = jnp.stack(
-                    [sum(ib[i, jj, :] * v_b[jj] for jj in range(6)) for i in range(6)],
-                    0,
-                )
-                vang, vlin = v_b[:3], v_b[3:]
-                ftor, flin = iv[:3], iv[3:]
-                fxf = jnp.concatenate(
-                    [lcross(vang, ftor) + lcross(vlin, flin), lcross(vang, flin)],
-                    axis=0,
-                )
-                f_b = iacc + fxf
-                fsum = fsum + C["anc_mask11"][b] * f_b[None, :, :]
+            # spatial body inertias, batched over all bodies at once (the
+            # world body's zero mass/inertia makes its row identically zero)
+            xipos_st = jnp.stack(xipos, axis=0)  # (nbody,3,T)
+            ximat_st = jnp.stack(ximat, axis=0)  # (nbody,3,3,T)
+            RI = ximat_st * C["body_inertia3"]  # R[b,i,k] * I[b,k]
+            ricr = sum(
+                RI[:, :, k, :][:, :, None, :] * ximat_st[:, :, k, :][:, None, :, :]
+                for k in range(3)
+            )  # (nbody,3,3,T): R I R^T
+            c = xipos_st - com[None]  # (nbody,3,T)
+            c0, c1, c2 = c[:, 0, :], c[:, 1, :], c[:, 2, :]
+            zb = 0.0 * c0
+            cx = jnp.stack(
+                [
+                    jnp.stack([zb, -c2, c1], axis=1),
+                    jnp.stack([c2, zb, -c0], axis=1),
+                    jnp.stack([-c1, c0, zb], axis=1),
+                ],
+                axis=1,
+            )  # (nbody,3,3,T)
+            cxcxT = sum(
+                cx[:, :, k, :][:, :, None, :] * cx[:, :, k, :][:, None, :, :]
+                for k in range(3)
+            )
+            mN = body_mass[:, None, None, :]
+            ib_stack = jnp.concatenate(
+                [
+                    jnp.concatenate([ricr + mN * cxcxT, mN * cx], axis=2),
+                    jnp.concatenate(
+                        [mN * jnp.swapaxes(cx, 1, 2), mN * C["eye3_b"]], axis=2
+                    ),
+                ],
+                axis=1,
+            )  # (nbody,6,6,T)
 
-            qfrc_bias = jnp.sum(cdof * fsum, axis=1)
+            # RNE bias forces, batched: per-body f = I*acc + v x* I*v, then
+            # qfrc_bias_i = cdof_i . (subtree sum of f at body(i)) — the
+            # subtree reduction is one descendant-mask MXU matmul.
+            acc_all = grav[None] + cacc_dofsum  # (nbody,6,T)
+            iacc = jnp.sum(ib_stack * acc_all[:, None, :, :], axis=2)
+            iv = jnp.sum(ib_stack * cvel[:, None, :, :], axis=2)
+            vang, vlin = cvel[:, :3, :], cvel[:, 3:, :]
+            ftor, flin = iv[:, :3, :], iv[:, 3:, :]
+            fxf = jnp.concatenate(
+                [lcross(vang, ftor) + lcross(vlin, flin), lcross(vang, flin)],
+                axis=1,
+            )
+            f_all = iacc + fxf  # (nbody,6,T)
+            fsub = mask_dot(C["desc_mask"], f_all)  # subtree sums
+            fdof = jnp.stack([fsub[dofbody[i]] for i in range(nv)], axis=0)
+            qfrc_bias = jnp.sum(cdof * fdof, axis=1)
 
             # ----- mass matrix via CRBA: composite (subtree) inertias from a
             # descendant-mask reduction (one MXU matmul over bodies), then
             # M[i,j] = (IC[body(i)] @ cdof_i) . cdof_j on the ancestor-pair
             # support — O(nv^2*6) instead of the O(nbody*nv^2*6) per-body
             # J^T I J accumulation.
-            ib_stack = jnp.stack([0.0 * ib_list[0]] + ib_list, axis=0)
             IC = mask_dot(
                 C["desc_mask"], ib_stack.reshape(nbody, 36, T)
             ).reshape(nbody, 6, 6, T)
@@ -709,11 +676,15 @@ def _build_kernel(m: Model, n_substeps: int):
                 t1 = t1 / jnp.sqrt(jnp.sum(t1 * t1, axis=0, keepdims=True))
                 return t1, lcross(nrm_c, t1)
 
-            # ----- efc rows
+            # ----- efc rows. Friction/limit rows have single-dof Jacobians
+            # (+-e_dof): they are kept as (dof, per-lane coefficient) pairs
+            # instead of dense nv-rows — J apply/transpose and the Hessian
+            # only materialize dense rows for the 4*ncon contact facets.
+            scoef: List = []  # per single row: row value = coef * x[dof]
             J_rows, aref_rows, D_rows, R_rows = [], [], [], []
             for i in range(nfric):
                 dof = fd[i]
-                J_rows.append(eye[dof][:, None] + 0.0 * qvel)
+                scoef.append(oneT)
                 aref_rows.append(-fric_B[i] * qvel[dof])
                 D_rows.append(fric_D[i] * oneT)
                 R_rows.append(fric_R[i] * oneT)
@@ -732,11 +703,7 @@ def _build_kernel(m: Model, n_substeps: int):
                 k_l, b_l = lim_kb[i]
                 aref = -b_l * sign * qvel[dof] - k_l * imp * pos_
                 r = jnp.maximum((1 - imp) / imp * lim_invw[i], _MINVAL)
-                J_rows.append(
-                    jnp.where(
-                        active[None, :], sign[None, :] * eye[dof][:, None], 0.0
-                    )
-                )
+                scoef.append(jnp.where(active, sign, 0.0))
                 aref_rows.append(jnp.where(active, aref, 0.0))
                 D_rows.append(jnp.where(active, 1.0 / r, 0.0))
                 R_rows.append(r)
@@ -768,7 +735,9 @@ def _build_kernel(m: Model, n_substeps: int):
                         D_rows.append(jnp.where(active, 1.0 / r, 0.0))
                         R_rows.append(r)
 
-            J = jnp.stack(J_rows, axis=0)
+            sdofs = fd + lim_d  # static dof index per single row
+            nsingle = nfric + nlim
+            Jc = jnp.stack(J_rows, axis=0)  # (ncon*4, nv, T) contact rows
             aref = jnp.stack(aref_rows, axis=0)
             Dv = jnp.stack(D_rows, axis=0)
             Rv = jnp.stack(R_rows, axis=0)
@@ -785,10 +754,23 @@ def _build_kernel(m: Model, n_substeps: int):
 
             # ----- Newton solve
             def jmul(x):
-                return jnp.sum(J * x[None, :, :], axis=1)
+                single = jnp.stack(
+                    [scoef[i] * x[sdofs[i]] for i in range(nsingle)], axis=0
+                )
+                con = jnp.sum(Jc * x[None, :, :], axis=1)
+                return jnp.concatenate([single, con], axis=0)
 
             def jtmul(y):
-                return jnp.sum(J * y[:, None, :], axis=0)
+                rows: List = [zeroT] * nv
+                for i in range(nsingle):
+                    rows[sdofs[i]] = rows[sdofs[i]] + scoef[i] * y[i]
+                out = jnp.stack(rows, axis=0)
+                # Contact rows accumulated unrolled: Mosaic rejects both the
+                # sliced-newaxis gather (y[nsingle:, None, :]) and a 3D
+                # axis-0 multi_reduction over the sliced operand.
+                for e in range(ncon * 4):
+                    out = out + Jc[e] * y[nsingle + e][None, :]
+                return out
 
             def mmul(x):
                 return jnp.sum(M * x[None, :, :], axis=1)
@@ -829,8 +811,9 @@ def _build_kernel(m: Model, n_substeps: int):
                     hd_rows[dof] = hd_rows[dof] + hh[e]
                 hdiag = jnp.stack(hd_rows, axis=0)  # (nv, T)
                 H = M + C["eye_nv1"] * hdiag[:, None, :]
-                for e in range(nfric + nlim, nefc):
-                    H = H + (hh[e] * J[e][:, None, :]) * J[e][None, :, :]
+                for e in range(ncon * 4):
+                    Je = Jc[e]
+                    H = H + (hh[nsingle + e] * Je[:, None, :]) * Je[None, :, :]
                 Lh = chol(H)
                 dxn = -chol_solve(Lh, grad)
                 jv = jmul(dxn)
