@@ -239,6 +239,30 @@ def _build_kernel(m: Model, n_substeps: int):
 
     levels = structure.tree_levels(s)
     iterations, ls_iterations = s.iterations, s.ls_iterations
+
+    # Block-arrow partition of the dof space (root free joint + decoupled
+    # serial chains): lets the two in-kernel factorizations run per-block
+    # (zero fill-in — chains only couple through the root block) and the
+    # constraint-Hessian contact updates touch only each foot's own chain
+    # block instead of dense (nv,nv) outer products.
+    _blocks = structure.dof_chain_blocks(s)
+    USE_BLOCK = _blocks is not None
+    foot_chain: List[int] = []
+    if USE_BLOCK:
+        FB, CHAINS = _blocks
+        for gid in s.collide_geom_ids:
+            b = s.geom_bodyid[gid]
+            anc_dofs = [d2 for d2 in range(FB[1], nv) if anc_np[b, d2] > 0]
+            owners = {
+                ci
+                for d2 in anc_dofs
+                for ci, (a2, e2) in enumerate(CHAINS)
+                if a2 <= d2 < e2
+            }
+            if len(owners) != 1:
+                USE_BLOCK = False
+                break
+            foot_chain.append(owners.pop())
     free_j = structure.free_joint(s)
     hinge_j = [int(j) for j in structure.hinge_joints(s)]
     seg_order = sorted(range(njnt), key=lambda j: s.jnt_qposadr[j])
@@ -531,11 +555,12 @@ def _build_kernel(m: Model, n_substeps: int):
             # the update at step k touches (nv-k)^2 entries, nv^3/3 total —
             # 3x less VPU work than updating the full matrix every step)
             def chol(Mm):
+                n = Mm.shape[0]
                 rem = Mm
                 cols = []
-                for kk in range(nv):
+                for kk in range(n):
                     piv = jnp.sqrt(jnp.maximum(rem[0, 0, :], 1e-12))
-                    col_t = rem[:, 0, :] / piv[None, :]  # (nv-kk, T)
+                    col_t = rem[:, 0, :] / piv[None, :]  # (n-kk, T)
                     if kk:
                         cols.append(
                             jnp.concatenate(
@@ -544,34 +569,101 @@ def _build_kernel(m: Model, n_substeps: int):
                         )
                     else:
                         cols.append(col_t)
-                    if kk < nv - 1:
+                    if kk < n - 1:
                         tail = col_t[1:]
                         rem = (
                             rem[1:, 1:, :]
                             - tail[:, None, :] * tail[None, :, :]
                         )
-                return jnp.stack(cols, axis=1)  # (nv, nv, T) lower factor
+                return jnp.stack(cols, axis=1)  # (n, n, T) lower factor
 
-            def chol_solve(L, bb):
-                # forward/back substitution with a running accumulator of
-                # finished columns' contributions (no per-step masked writes)
+            def fwd_sub(L, bb):
+                # solve L u = bb with a running accumulator of finished
+                # columns' contributions (no per-step masked writes)
+                n = L.shape[0]
                 rows: List = []
                 acc = 0.0 * bb
-                for kk in range(nv):
+                for kk in range(n):
                     xk = (bb[kk] - acc[kk]) / L[kk, kk, :]
                     rows.append(xk)
                     acc = acc + L[:, kk, :] * xk[None, :]
-                x = jnp.stack(rows, axis=0)
-                rows2: List = [None] * nv
+                return jnp.stack(rows, axis=0)
+
+            def bwd_sub(L, bb):
+                # solve L^T x = bb
+                n = L.shape[0]
+                rows2: List = [None] * n
                 acc2 = 0.0 * bb
-                for kk in range(nv - 1, -1, -1):
-                    yk = (x[kk] - acc2[kk]) / L[kk, kk, :]
+                for kk in range(n - 1, -1, -1):
+                    yk = (bb[kk] - acc2[kk]) / L[kk, kk, :]
                     rows2[kk] = yk
                     acc2 = acc2 + L[kk, :, :] * yk[None, :]
                 return jnp.stack(rows2, axis=0)
 
-            Lm = chol(M)
-            qacc_smooth = chol_solve(Lm, qfrc_smooth)
+            def chol_solve(L, bb):
+                return bwd_sub(L, fwd_sub(L, bb))
+
+            def fwd_panel(L, Bp):
+                # solve L P = Bp for a panel Bp (n, kc, T)
+                n = L.shape[0]
+                rows: List = []
+                acc = 0.0 * Bp
+                for kk in range(n):
+                    xk = (Bp[kk] - acc[kk]) / L[kk, kk, :][None, :]
+                    rows.append(xk)
+                    acc = acc + L[:, kk, :][:, None, :] * xk[None, :, :]
+                return jnp.stack(rows, axis=0)
+
+            def block_factor(Acc, Acf, Aff):
+                """Block-arrow Cholesky: per-chain factors + root Schur.
+
+                Eliminating chain blocks before the root block is fill-in
+                free (chains are mutually decoupled), so the factorization
+                is exact — same math as dense chol in a permuted dof order.
+                """
+                Ls, Ps = [], []
+                S = Aff
+                for ci in range(len(CHAINS)):
+                    Lc = chol(Acc[ci])
+                    Pc = fwd_panel(Lc, Acf[ci])  # (nc, nF, T)
+                    for k in range(Pc.shape[0]):
+                        S = S - Pc[k][:, None, :] * Pc[k][None, :, :]
+                    Ls.append(Lc)
+                    Ps.append(Pc)
+                return Ls, Ps, chol(S)
+
+            def block_solve(fac, bb):
+                Ls, Ps, LF = fac
+                us = []
+                bF = bb[FB[0] : FB[1]]
+                for ci, (a_, e_) in enumerate(CHAINS):
+                    u = fwd_sub(Ls[ci], bb[a_:e_])
+                    for k in range(u.shape[0]):
+                        bF = bF - Ps[ci][k] * u[k][None, :]
+                    us.append(u)
+                xF = bwd_sub(LF, fwd_sub(LF, bF))
+                segs = [xF]
+                for ci in range(len(CHAINS)):
+                    w = us[ci] - jnp.sum(Ps[ci] * xF[None, :, :], axis=1)
+                    segs.append(bwd_sub(Ls[ci], w))
+                return jnp.concatenate(segs, axis=0)
+
+            def block_slices(Am, hdiag=None):
+                eye1 = C["eye_nv1"]
+                def dd(a_, e_):
+                    blk = Am[a_:e_, a_:e_, :]
+                    if hdiag is not None:
+                        blk = blk + eye1[a_:e_, a_:e_] * hdiag[a_:e_][:, None, :]
+                    return blk
+                Acc = [dd(a_, e_) for a_, e_ in CHAINS]
+                Acf = [Am[a_:e_, FB[0] : FB[1], :] for a_, e_ in CHAINS]
+                return Acc, Acf, dd(FB[0], FB[1])
+
+            if USE_BLOCK:
+                qacc_smooth = block_solve(block_factor(*block_slices(M)), qfrc_smooth)
+            else:
+                Lm = chol(M)
+                qacc_smooth = chol_solve(Lm, qfrc_smooth)
 
             # ----- collision (hull vs plane | hfield patch)
             con_dist, con_pos, con_foot, con_nrm = [], [], [], []
@@ -810,12 +902,31 @@ def _build_kernel(m: Model, n_substeps: int):
                 for e, dof in enumerate(fd + lim_d):
                     hd_rows[dof] = hd_rows[dof] + hh[e]
                 hdiag = jnp.stack(hd_rows, axis=0)  # (nv, T)
-                H = M + C["eye_nv1"] * hdiag[:, None, :]
-                for e in range(ncon * 4):
-                    Je = Jc[e]
-                    H = H + (hh[nsingle + e] * Je[:, None, :]) * Je[None, :, :]
-                Lh = chol(H)
-                dxn = -chol_solve(Lh, grad)
+                if USE_BLOCK:
+                    # Contact rows have static support F ∪ chain(foot): the
+                    # J^T diag(h) J update only touches that foot's chain
+                    # block, its chain-root panel, and the root block —
+                    # (nc+nF)^2 work per row instead of nv^2.
+                    Acc, Acf, Aff = block_slices(M, hdiag)
+                    for e in range(ncon * 4):
+                        ci = foot_chain[con_foot[e // 4]]
+                        a_, e_ = CHAINS[ci]
+                        h = hh[nsingle + e]
+                        Je = Jc[e]
+                        jCh = Je[a_:e_]
+                        jF = Je[FB[0] : FB[1]]
+                        hjC = h[None, :] * jCh
+                        Acc[ci] = Acc[ci] + hjC[:, None, :] * jCh[None, :, :]
+                        Acf[ci] = Acf[ci] + hjC[:, None, :] * jF[None, :, :]
+                        Aff = Aff + (h[None, :] * jF)[:, None, :] * jF[None, :, :]
+                    dxn = -block_solve(block_factor(Acc, Acf, Aff), grad)
+                else:
+                    H = M + C["eye_nv1"] * hdiag[:, None, :]
+                    for e in range(ncon * 4):
+                        Je = Jc[e]
+                        H = H + (hh[nsingle + e] * Je[:, None, :]) * Je[None, :, :]
+                    Lh = chol(H)
+                    dxn = -chol_solve(Lh, grad)
                 jv = jmul(dxn)
                 mv = mmul(dxn)
                 g0 = jnp.sum(dxn * mmul(x - qacc_smooth), axis=0)
