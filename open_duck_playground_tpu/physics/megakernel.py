@@ -81,7 +81,7 @@ def lquat_rotate(q, v):
 
 
 def lquat_normalize(q):
-    return q / jnp.sqrt(jnp.sum(q * q, axis=-2, keepdims=True))
+    return q * jax.lax.rsqrt(jnp.sum(q * q, axis=-2, keepdims=True))
 
 
 def lquat_to_mat(q):
@@ -100,7 +100,7 @@ def lquat_to_mat(q):
 def _impedance(solimp, pos):
     """solimp: tuple of 5 python floats; pos: (…,T)."""
     dmin, dmax, width, mid, power = solimp
-    x = jnp.clip(jnp.abs(pos) / max(width, _MINVAL), 0.0, 1.0)
+    x = jnp.clip(jnp.abs(pos) * (1.0 / max(width, _MINVAL)), 0.0, 1.0)
     a = 1.0 / mid ** (power - 1)
     b = 1.0 / (1 - mid) ** (power - 1)
     y = jnp.where(x < mid, a * x**power, 1 - b * (1 - x) ** power)
@@ -394,7 +394,7 @@ def _build_kernel(m: Model, n_substeps: int):
                     body_mass[b][None, :] * float(in_tree[b]) * xipos[b]
                     for b in range(nbody)
                 )
-                / total_mass[None, :]
+                * (1.0 / total_mass)[None, :]
             )
 
             cdof_list: List = [None] * nv
@@ -555,12 +555,17 @@ def _build_kernel(m: Model, n_substeps: int):
             # the update at step k touches (nv-k)^2 entries, nv^3/3 total —
             # 3x less VPU work than updating the full matrix every step)
             def chol(Mm):
+                # returns (L, rdiag): lower factor and per-column reciprocal
+                # pivots — VPU division is many times a multiply, so every
+                # column/solve divide below becomes a broadcast multiply
                 n = Mm.shape[0]
                 rem = Mm
                 cols = []
+                rdiag: List = []
                 for kk in range(n):
-                    piv = jnp.sqrt(jnp.maximum(rem[0, 0, :], 1e-12))
-                    col_t = rem[:, 0, :] / piv[None, :]  # (n-kk, T)
+                    rpiv = jax.lax.rsqrt(jnp.maximum(rem[0, 0, :], 1e-12))
+                    rdiag.append(rpiv)
+                    col_t = rem[:, 0, :] * rpiv[None, :]  # (n-kk, T)
                     if kk:
                         cols.append(
                             jnp.concatenate(
@@ -575,41 +580,44 @@ def _build_kernel(m: Model, n_substeps: int):
                             rem[1:, 1:, :]
                             - tail[:, None, :] * tail[None, :, :]
                         )
-                return jnp.stack(cols, axis=1)  # (n, n, T) lower factor
+                return jnp.stack(cols, axis=1), jnp.stack(rdiag, axis=0)
 
-            def fwd_sub(L, bb):
+            def fwd_sub(fac, bb):
                 # solve L u = bb with a running accumulator of finished
                 # columns' contributions (no per-step masked writes)
+                L, rd = fac
                 n = L.shape[0]
                 rows: List = []
                 acc = 0.0 * bb
                 for kk in range(n):
-                    xk = (bb[kk] - acc[kk]) / L[kk, kk, :]
+                    xk = (bb[kk] - acc[kk]) * rd[kk]
                     rows.append(xk)
                     acc = acc + L[:, kk, :] * xk[None, :]
                 return jnp.stack(rows, axis=0)
 
-            def bwd_sub(L, bb):
+            def bwd_sub(fac, bb):
                 # solve L^T x = bb
+                L, rd = fac
                 n = L.shape[0]
                 rows2: List = [None] * n
                 acc2 = 0.0 * bb
                 for kk in range(n - 1, -1, -1):
-                    yk = (bb[kk] - acc2[kk]) / L[kk, kk, :]
+                    yk = (bb[kk] - acc2[kk]) * rd[kk]
                     rows2[kk] = yk
                     acc2 = acc2 + L[kk, :, :] * yk[None, :]
                 return jnp.stack(rows2, axis=0)
 
-            def chol_solve(L, bb):
-                return bwd_sub(L, fwd_sub(L, bb))
+            def chol_solve(fac, bb):
+                return bwd_sub(fac, fwd_sub(fac, bb))
 
-            def fwd_panel(L, Bp):
+            def fwd_panel(fac, Bp):
                 # solve L P = Bp for a panel Bp (n, kc, T)
+                L, rd = fac
                 n = L.shape[0]
                 rows: List = []
                 acc = 0.0 * Bp
                 for kk in range(n):
-                    xk = (Bp[kk] - acc[kk]) / L[kk, kk, :][None, :]
+                    xk = (Bp[kk] - acc[kk]) * rd[kk][None, :]
                     rows.append(xk)
                     acc = acc + L[:, kk, :][:, None, :] * xk[None, :, :]
                 return jnp.stack(rows, axis=0)
@@ -730,7 +738,7 @@ def _build_kernel(m: Model, n_substeps: int):
                         -(z01 - z00) * (1.0 / hf["dyh"]),
                         (z10 - z11) * (1.0 / hf["dyh"]),
                     )
-                    ninv = 1.0 / jnp.sqrt(nx * nx + ny * ny + 1.0)
+                    ninv = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
                     vert_nrm = jnp.stack([nx * ninv, ny * ninv, ninv], axis=1)
                     dvert = (verts[:, 2, :] - h) * ninv  # (vz-h) onto normal
                 else:
@@ -765,7 +773,7 @@ def _build_kernel(m: Model, n_substeps: int):
                 use_x = (jnp.abs(nrm_c[0]) <= jnp.abs(nrm_c[1]))[None, :]
                 ref_v = jnp.where(use_x, ex, ey)
                 t1 = lcross(nrm_c, ref_v)
-                t1 = t1 / jnp.sqrt(jnp.sum(t1 * t1, axis=0, keepdims=True))
+                t1 = t1 * jax.lax.rsqrt(jnp.sum(t1 * t1, axis=0, keepdims=True))
                 return t1, lcross(nrm_c, t1)
 
             # ----- efc rows. Friction/limit rows have single-dof Jacobians
@@ -800,6 +808,14 @@ def _build_kernel(m: Model, n_substeps: int):
                 D_rows.append(jnp.where(active, 1.0 / r, 0.0))
                 R_rows.append(r)
             inv_trn = body_invweight0[:, 0]
+            # Contact-row Jacobians via the triple-product identity
+            # J[v]·d = cdof_lin[v]·d + cdof_ang[v]·(pc × d): one 3-vector
+            # cross per facet instead of materializing the (nv,3,T) point
+            # Jacobian per contact. Under USE_BLOCK rows are kept compact on
+            # their static support (root block + own chain block).
+            JF_rows: List = []  # (nF,T) root-block part, per contact row
+            JC_rows: List = []  # (nc,T) own-chain part, per contact row
+            row_chain: List[int] = []
             for ci in range(ncon):
                 fi = con_foot[ci]
                 b = s.geom_bodyid[s.collide_geom_ids[fi]]
@@ -810,26 +826,55 @@ def _build_kernel(m: Model, n_substeps: int):
                 t1, t2 = contact_frame(nrm_c)
                 active = dist < 0.0
                 imp = _impedance(con_solimp, dist)
-                jp = C["anc_mask11"][b] * (
-                    dv + lcross(dw, p[None] + 0.0 * dv - com[None])
-                )
                 mu = floor_mu
                 diag = 2.0 * mu * mu * (1.0 + mu * mu) * invw
                 r = jnp.maximum((1 - imp) / imp * diag, _MINVAL)
+                pc = p - com
+                if USE_BLOCK:
+                    chi = foot_chain[fi]
+                    ca_, ce_ = CHAINS[chi]
                 for t_vec in (t1, t2):
                     for sgn in (1.0, -1.0):
                         d_vec = nrm_c + sgn * mu[None, :] * t_vec
-                        Jrow = jnp.sum(jp * d_vec[None], axis=1)
-                        vel = jnp.sum(Jrow * qvel, axis=0)
+                        m_vec = lcross(pc, d_vec)
+
+                        def jpart(a2, e2, d_vec=d_vec, m_vec=m_vec):
+                            out = jnp.sum(
+                                dv[a2:e2] * d_vec[None]
+                                + dw[a2:e2] * m_vec[None],
+                                axis=1,
+                            )
+                            msk = anc_np[b, a2:e2]
+                            if not msk.all():  # static: zero non-ancestors
+                                out = out * msk.reshape(-1, 1)
+                            return out
+
+                        if USE_BLOCK:
+                            jFr = jnp.where(
+                                active[None, :], jpart(FB[0], FB[1]), 0.0
+                            )
+                            jCr = jnp.where(active[None, :], jpart(ca_, ce_), 0.0)
+                            vel = jnp.sum(
+                                jFr * qvel[FB[0] : FB[1]], axis=0
+                            ) + jnp.sum(jCr * qvel[ca_:ce_], axis=0)
+                            JF_rows.append(jFr)
+                            JC_rows.append(jCr)
+                            row_chain.append(chi)
+                        else:
+                            Jrow = jnp.where(
+                                active[None, :], jpart(0, nv), 0.0
+                            )
+                            vel = jnp.sum(Jrow * qvel, axis=0)
+                            J_rows.append(Jrow)
                         aref = -b_con * vel - k_con * imp * dist
-                        J_rows.append(jnp.where(active[None, :], Jrow, 0.0))
                         aref_rows.append(jnp.where(active, aref, 0.0))
                         D_rows.append(jnp.where(active, 1.0 / r, 0.0))
                         R_rows.append(r)
 
             sdofs = fd + lim_d  # static dof index per single row
             nsingle = nfric + nlim
-            Jc = jnp.stack(J_rows, axis=0)  # (ncon*4, nv, T) contact rows
+            if not USE_BLOCK:
+                Jc = jnp.stack(J_rows, axis=0)  # (ncon*4, nv, T) dense rows
             aref = jnp.stack(aref_rows, axis=0)
             Dv = jnp.stack(D_rows, axis=0)
             Rv = jnp.stack(R_rows, axis=0)
@@ -849,7 +894,22 @@ def _build_kernel(m: Model, n_substeps: int):
                 single = jnp.stack(
                     [scoef[i] * x[sdofs[i]] for i in range(nsingle)], axis=0
                 )
-                con = jnp.sum(Jc * x[None, :, :], axis=1)
+                if USE_BLOCK:
+                    xF = x[FB[0] : FB[1]]
+                    con = jnp.stack(
+                        [
+                            jnp.sum(JF_rows[e] * xF, axis=0)
+                            + jnp.sum(
+                                JC_rows[e]
+                                * x[CHAINS[row_chain[e]][0] : CHAINS[row_chain[e]][1]],
+                                axis=0,
+                            )
+                            for e in range(ncon * 4)
+                        ],
+                        axis=0,
+                    )
+                else:
+                    con = jnp.sum(Jc * x[None, :, :], axis=1)
                 return jnp.concatenate([single, con], axis=0)
 
             def jtmul(y):
@@ -860,6 +920,17 @@ def _build_kernel(m: Model, n_substeps: int):
                 # Contact rows accumulated unrolled: Mosaic rejects both the
                 # sliced-newaxis gather (y[nsingle:, None, :]) and a 3D
                 # axis-0 multi_reduction over the sliced operand.
+                if USE_BLOCK:
+                    accF = jnp.zeros((FB[1] - FB[0], T), f32)
+                    accC = [
+                        jnp.zeros((e_ - a_, T), f32) for a_, e_ in CHAINS
+                    ]
+                    for e in range(ncon * 4):
+                        yv = y[nsingle + e][None, :]
+                        accF = accF + JF_rows[e] * yv
+                        ci2 = row_chain[e]
+                        accC[ci2] = accC[ci2] + JC_rows[e] * yv
+                    return out + jnp.concatenate([accF] + accC, axis=0)
                 for e in range(ncon * 4):
                     out = out + Jc[e] * y[nsingle + e][None, :]
                 return out
@@ -909,12 +980,10 @@ def _build_kernel(m: Model, n_substeps: int):
                     # (nc+nF)^2 work per row instead of nv^2.
                     Acc, Acf, Aff = block_slices(M, hdiag)
                     for e in range(ncon * 4):
-                        ci = foot_chain[con_foot[e // 4]]
-                        a_, e_ = CHAINS[ci]
+                        ci = row_chain[e]
                         h = hh[nsingle + e]
-                        Je = Jc[e]
-                        jCh = Je[a_:e_]
-                        jF = Je[FB[0] : FB[1]]
+                        jCh = JC_rows[e]
+                        jF = JF_rows[e]
                         hjC = h[None, :] * jCh
                         Acc[ci] = Acc[ci] + hjC[:, None, :] * jCh[None, :, :]
                         Acf[ci] = Acf[ci] + hjC[:, None, :] * jF[None, :, :]
@@ -1023,7 +1092,7 @@ def _build_kernel(m: Model, n_substeps: int):
                     w = jnp.stack([qvel_n[dadr + 3 + i] for i in range(3)])
                     angle = jnp.sqrt(jnp.sum(w * w, axis=0))
                     safe = jnp.maximum(angle, 1e-12)
-                    axis = w / safe[None, :]
+                    axis = w * (1.0 / safe)[None, :]
                     half = 0.5 * angle * dt
                     sh = jnp.sin(half)
                     dq = jnp.concatenate([jnp.cos(half)[None, :], axis * sh[None, :]], 0)
