@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from open_duck_playground_tpu.physics import structure
-from open_duck_playground_tpu.physics.types import FREE, Data, Model
+from open_duck_playground_tpu.physics.types import FREE, HINGE, Data, Model
 
 _MINVAL = 1e-15
 _MINIMP, _MAXIMP = 0.0001, 0.9999
@@ -266,6 +266,25 @@ def _build_kernel(m: Model, n_substeps: int):
     free_j = structure.free_joint(s)
     hinge_j = [int(j) for j in structure.hinge_joints(s)]
     seg_order = sorted(range(njnt), key=lambda j: s.jnt_qposadr[j])
+    # one fused slice update for the hinge part of the integrator when all
+    # non-free joints are hinges laid out contiguously in qpos/dof space
+    _hj = [j for j in seg_order if s.jnt_type[j] != FREE]
+    HINGE_CONTIG = (
+        bool(_hj)
+        and all(s.jnt_type[j] == HINGE for j in _hj)
+        and all(
+            s.jnt_qposadr[j2] == s.jnt_qposadr[_hj[0]] + k
+            and s.jnt_dofadr[j2] == s.jnt_dofadr[_hj[0]] + k
+            for k, j2 in enumerate(_hj)
+        )
+        and all(
+            s.jnt_qposadr[j2] < s.jnt_qposadr[_hj[0]]
+            for j2 in seg_order
+            if s.jnt_type[j2] == FREE
+        )
+    )
+    if HINGE_CONTIG:
+        H_Q0, H_D0, H_N = s.jnt_qposadr[_hj[0]], s.jnt_dofadr[_hj[0]], len(_hj)
 
     adr = 0
     for kind, objid, a, dim in s.sensors:
@@ -343,6 +362,16 @@ def _build_kernel(m: Model, n_substeps: int):
             xquat[0] = jnp.stack([oneT, zeroT, zeroT, zeroT])
             xanchor: List = [None] * njnt
             xaxis: List = [None] * njnt
+            # all hinge sin/cos in one packed pair of transcendentals
+            # instead of a 1-sublane pair per joint inside the level walk
+            hrow = {j: i for i, j in enumerate(hinge_j)}
+            if hinge_j:
+                half_all = 0.5 * (
+                    jnp.stack([qpos[s.jnt_qposadr[j]] for j in hinge_j], axis=0)
+                    - jnp.stack([qpos0[s.jnt_qposadr[j]] for j in hinge_j], axis=0)
+                )
+                sh_all = jnp.sin(half_all)
+                ch_all = jnp.cos(half_all)
             for level in levels:
                 for b in level:
                     p = s.body_parentid[b]
@@ -364,11 +393,9 @@ def _build_kernel(m: Model, n_substeps: int):
                             ja_c = cvec("jnt_axis", j)
                             anchor = pos + lquat_rotate(quat, jp_c + zero3)
                             ax_w = lquat_rotate(quat, ja_c + zero3)
-                            angle = qpos[qadr] - qpos0[qadr]
-                            half = 0.5 * angle
-                            sh = jnp.sin(half)
+                            sh = sh_all[hrow[j]]
                             jq = jnp.stack(
-                                [jnp.cos(half), ja_c[0] * sh, ja_c[1] * sh, ja_c[2] * sh]
+                                [ch_all[hrow[j]], ja_c[0] * sh, ja_c[1] * sh, ja_c[2] * sh]
                             )
                             quat = lquat_mul(quat, jq)
                             pos = anchor - lquat_rotate(quat, jp_c + zero3)
@@ -511,16 +538,57 @@ def _build_kernel(m: Model, n_substeps: int):
             ICdof = jnp.stack([IC[dofbody[i]] for i in range(nv)], axis=0)
             fC = jnp.sum(ICdof * cdof[:, None, :, :], axis=2)  # (nv,6,T)
             mdiag = jnp.sum(fC * cdof, axis=1)  # (nv,T)
-            Mlow = fC[:, 0, :][:, None, :] * cdof[:, 0, :][None, :, :]
-            for k in range(1, 6):
-                Mlow = Mlow + fC[:, k, :][:, None, :] * cdof[:, k, :][None, :, :]
-            Mlow = C["dofpair1"] * Mlow
-            M = (
-                M
-                + Mlow
-                + jnp.swapaxes(Mlow, 0, 1)
-                - C["eye_nv1"] * mdiag[:, None, :]
-            )
+            if USE_BLOCK:
+                # assemble M directly in block-arrow form: the only nonzero
+                # blocks are the chain diagonal blocks, the chain-root
+                # panels, and the root block — never materialize (nv,nv,T)
+                eyeb = C["eye_nv1"]
+
+                def crba_diag_block(a_, e_):
+                    W = fC[a_:e_, 0, :][:, None, :] * cdof[a_:e_, 0, :][None, :, :]
+                    for k in range(1, 6):
+                        W = W + (
+                            fC[a_:e_, k, :][:, None, :]
+                            * cdof[a_:e_, k, :][None, :, :]
+                        )
+                    Wl = C["dofpair1"][a_:e_, a_:e_] * W
+                    return (
+                        eyeb[a_:e_, a_:e_] * armature[a_:e_][:, None, :]
+                        + Wl
+                        + jnp.swapaxes(Wl, 0, 1)
+                        - eyeb[a_:e_, a_:e_] * mdiag[a_:e_][:, None, :]
+                    )
+
+                def crba_panel(a_, e_):
+                    # chain dofs are strict descendants of every root dof:
+                    # M[i, f] = (IC[body(i)] cdof_i) · cdof_f, full block
+                    P = (
+                        fC[a_:e_, 0, :][:, None, :]
+                        * cdof[FB[0] : FB[1], 0, :][None, :, :]
+                    )
+                    for k in range(1, 6):
+                        P = P + (
+                            fC[a_:e_, k, :][:, None, :]
+                            * cdof[FB[0] : FB[1], k, :][None, :, :]
+                        )
+                    return P
+
+                Mb = (
+                    [crba_diag_block(a_, e_) for a_, e_ in CHAINS],
+                    [crba_panel(a_, e_) for a_, e_ in CHAINS],
+                    crba_diag_block(FB[0], FB[1]),
+                )
+            else:
+                Mlow = fC[:, 0, :][:, None, :] * cdof[:, 0, :][None, :, :]
+                for k in range(1, 6):
+                    Mlow = Mlow + fC[:, k, :][:, None, :] * cdof[:, k, :][None, :, :]
+                Mlow = C["dofpair1"] * Mlow
+                M = (
+                    M
+                    + Mlow
+                    + jnp.swapaxes(Mlow, 0, 1)
+                    - C["eye_nv1"] * mdiag[:, None, :]
+                )
 
             # ----- passive + actuation
             qfrc_passive = jnp.stack(
@@ -656,19 +724,20 @@ def _build_kernel(m: Model, n_substeps: int):
                     segs.append(bwd_sub(Ls[ci], w))
                 return jnp.concatenate(segs, axis=0)
 
-            def block_slices(Am, hdiag=None):
+            def block_slices(Mb_, hdiag=None):
+                Mcc, Mcf, Mff = Mb_
                 eye1 = C["eye_nv1"]
-                def dd(a_, e_):
-                    blk = Am[a_:e_, a_:e_, :]
-                    if hdiag is not None:
-                        blk = blk + eye1[a_:e_, a_:e_] * hdiag[a_:e_][:, None, :]
-                    return blk
-                Acc = [dd(a_, e_) for a_, e_ in CHAINS]
-                Acf = [Am[a_:e_, FB[0] : FB[1], :] for a_, e_ in CHAINS]
-                return Acc, Acf, dd(FB[0], FB[1])
+
+                def add_d(blk, a_, e_):
+                    if hdiag is None:
+                        return blk
+                    return blk + eye1[a_:e_, a_:e_] * hdiag[a_:e_][:, None, :]
+
+                Acc = [add_d(Mcc[ci3], a_, e_) for ci3, (a_, e_) in enumerate(CHAINS)]
+                return Acc, list(Mcf), add_d(Mff, FB[0], FB[1])
 
             if USE_BLOCK:
-                qacc_smooth = block_solve(block_factor(*block_slices(M)), qfrc_smooth)
+                qacc_smooth = block_solve(block_factor(*block_slices(Mb)), qfrc_smooth)
             else:
                 Lm = chol(M)
                 qacc_smooth = chol_solve(Lm, qfrc_smooth)
@@ -936,6 +1005,22 @@ def _build_kernel(m: Model, n_substeps: int):
                 return out
 
             def mmul(x):
+                if USE_BLOCK:
+                    Mcc, Mcf, Mff = Mb
+                    xF = x[FB[0] : FB[1]]
+                    yF = jnp.sum(Mff * xF[None, :, :], axis=1)
+                    ys = []
+                    for ci3, (a_, e_) in enumerate(CHAINS):
+                        xc = x[a_:e_]
+                        ys.append(
+                            jnp.sum(Mcc[ci3] * xc[None, :, :], axis=1)
+                            + jnp.sum(Mcf[ci3] * xF[None, :, :], axis=1)
+                        )
+                        # panel^T contribution, unrolled (Mosaic lacks the
+                        # 3D axis-0 reduction this would otherwise need)
+                        for k in range(e_ - a_):
+                            yF = yF + Mcf[ci3][k] * xc[k][None, :]
+                    return jnp.concatenate([yF] + ys, axis=0)
                 return jnp.sum(M * x[None, :, :], axis=1)
 
             def force_hess(jar):
@@ -978,7 +1063,7 @@ def _build_kernel(m: Model, n_substeps: int):
                     # J^T diag(h) J update only touches that foot's chain
                     # block, its chain-root panel, and the root block —
                     # (nc+nF)^2 work per row instead of nv^2.
-                    Acc, Acf, Aff = block_slices(M, hdiag)
+                    Acc, Acf, Aff = block_slices(Mb, hdiag)
                     for e in range(ncon * 4):
                         ci = row_chain[e]
                         h = hh[nsingle + e]
@@ -1075,7 +1160,7 @@ def _build_kernel(m: Model, n_substeps: int):
                 out["dbg_qacc_smooth"] = qacc_smooth
                 out["dbg_qfrc_bias"] = qfrc_bias
                 out["dbg_qfrc_smooth"] = qfrc_smooth
-                out["dbg_mdiag"] = jnp.stack([M[i, i, :] for i in range(nv)], 0)
+                out["dbg_mdiag"] = armature + mdiag  # = diag(M)
                 out["dbg_aref"] = aref
                 out["dbg_D"] = Dv
                 out["dbg_grad0"] = jtmul(force_hess(jmul(x) - aref)[0])
@@ -1099,6 +1184,12 @@ def _build_kernel(m: Model, n_substeps: int):
                     ident = jnp.concatenate([1.0 + 0.0 * half[None, :], 0.0 * axis], 0)
                     dq = jnp.where((angle < 1e-12)[None, :], ident, dq)
                     segs.append(lquat_normalize(lquat_mul(quat, dq)))
+                elif HINGE_CONTIG:
+                    if qadr == H_Q0:  # all hinges in one fused slice update
+                        segs.append(
+                            qpos[H_Q0 : H_Q0 + H_N]
+                            + dt * qvel_n[H_D0 : H_D0 + H_N]
+                        )
                 else:
                     segs.append(qpos[qadr : qadr + 1] + dt * qvel_n[dadr : dadr + 1])
             return jnp.concatenate(segs, axis=0), qvel_n

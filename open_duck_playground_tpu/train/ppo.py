@@ -176,7 +176,6 @@ def train(
             "reward": nstate.reward,
             "done": nstate.done,
             "truncation": nstate.info["truncation"],
-            "next_obs": nstate.obs,
         }
         return (nstate, key), transition
 
@@ -187,19 +186,22 @@ def train(
             None,
             length=unroll_length,
         )
-        return env_state, data  # leaves: (T, num_envs, ...)
+        # Only the final frame's obs is needed for the GAE bootstrap value —
+        # carrying per-step next_obs would double the rollout's HBM writes
+        # and the per-epoch shuffle traffic for data the loss never reads.
+        return env_state, data, env_state.obs  # data leaves: (T, num_envs, ...)
 
     # ---------------------------------------------------------------- loss
-    def loss_fn(params, normalizer, data, ent_key):
-        """data leaves: (B, T, ...) minibatch."""
+    def loss_fn(params, normalizer, batch, ent_key):
+        """batch = (data, final_obs): data leaves (B, T, ...), final_obs
+        leaves (B, ...) — the post-unroll obs for the bootstrap value."""
+        data, final_obs = batch
         # move time first: (T, B, ...)
         data = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), data)
         norm_obs = RS.normalize(normalizer, data["obs"])
         logits = net.policy_logits(params, norm_obs)
         baseline = net.value(params, norm_obs)
-        norm_next = RS.normalize(
-            normalizer, jax.tree.map(lambda x: x[-1], data["next_obs"])
-        )
+        norm_next = RS.normalize(normalizer, final_obs)
         bootstrap = net.value(params, norm_next)
 
         rewards = data["reward"] * reward_scaling
@@ -243,20 +245,20 @@ def train(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def minibatch_step(carry, data):
+    def minibatch_step(carry, batch):
         params, opt_state, normalizer, key = carry
         key, ent_key = jax.random.split(key)
-        (_, metrics), grads = grad_fn(params, normalizer, data, ent_key)
+        (_, metrics), grads = grad_fn(params, normalizer, batch, ent_key)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, normalizer, key), metrics
 
     def training_step(training_state: TrainingState, env_state, key):
         key, unroll_key, sgd_key = jax.random.split(key, 3)
-        env_state, data = generate_unroll(
+        env_state, data, final_obs = generate_unroll(
             env_state, unroll_key, training_state.params, training_state.normalizer
         )
-        # data leaves: (T, num_envs, ...)
+        # data leaves: (T, num_envs, ...); final_obs leaves: (num_envs, ...)
 
         if normalize_observations:
             normalizer = RS.update(training_state.normalizer, data["obs"])
@@ -272,7 +274,14 @@ def train(
                 x = jax.random.permutation(perm_key, x, axis=0)
                 return x.reshape((num_minibatches, -1) + x.shape[1:])
 
-            shuffled = jax.tree.map(shuffle, data)
+            def shuffle_final(x):  # (num_envs, ...): same env permutation
+                x = jax.random.permutation(perm_key, x, axis=0)
+                return x.reshape((num_minibatches, -1) + x.shape[1:])
+
+            shuffled = (
+                jax.tree.map(shuffle, data),
+                jax.tree.map(shuffle_final, final_obs),
+            )
             (params, opt_state, _, key), metrics = jax.lax.scan(
                 minibatch_step, (params, opt_state, normalizer, key), shuffled
             )
