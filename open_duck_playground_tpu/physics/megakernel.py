@@ -1273,8 +1273,11 @@ def _tile_table(s, hfield_data, hf):
             for b in range(nti):
                 si = min(WIN * b, ncol - P)
                 tab[a * nti + b] = hd[sj : sj + P, si : si + P].reshape(-1)
-        _TILE_TABLE_CACHE[key] = (jnp.asarray(tab), nti)
-    return _TILE_TABLE_CACHE[key]
+        # cache numpy, not a device array: a jnp array materialized inside
+        # one jit trace must not be reused in another (tracer leak)
+        _TILE_TABLE_CACHE[key] = (tab, nti)
+    tab, nti = _TILE_TABLE_CACHE[key]
+    return jnp.asarray(tab), nti
 
 
 def prepare(m: Model, n_substeps: int, tile: int = LANE_TILE) -> None:
