@@ -1,0 +1,57 @@
+"""Sustained full-PPO training throughput (timed jit chunks, warmup excluded).
+
+    python tools/bench_ppo_sustained.py [--task flat_terrain_backlash] \
+        [--timesteps 50000000]
+"""
+
+import argparse
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/odp_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", default="flat_terrain_backlash")
+    ap.add_argument("--timesteps", type=int, default=50_000_000)
+    args = ap.parse_args()
+
+    from open_duck_playground_tpu.envs.joystick import Joystick
+    from open_duck_playground_tpu.envs.randomize import domain_randomize
+    from open_duck_playground_tpu.train import ppo
+
+    env = Joystick(task=args.task)
+    times = []
+    steps_seen = [0]
+    t_last = [None]
+
+    def progress(num_steps, metrics):
+        now = time.perf_counter()
+        if t_last[0] is not None and num_steps > steps_seen[0]:
+            d_steps = num_steps - steps_seen[0]
+            dt = now - t_last[0]
+            times.append((d_steps, dt))
+            print(f"chunk: {d_steps} steps in {dt:.2f}s -> "
+                  f"{d_steps / dt:,.0f} steps/s", flush=True)
+        steps_seen[0] = num_steps
+        t_last[0] = now
+
+    ppo.train(
+        environment=env,
+        num_timesteps=args.timesteps,
+        num_evals=7,
+        randomization_fn=domain_randomize,
+        progress_fn=progress,
+        max_env_steps_per_jit=8_192_000,
+    )
+    tail = times[1:] if len(times) > 1 else times
+    tot_s = sum(s for s, _ in tail)
+    tot_t = sum(t for _, t in tail)
+    print(f"SUSTAINED: {tot_s / tot_t:,.0f} env steps/s (excl. first timed chunk)")
+
+
+if __name__ == "__main__":
+    main()
