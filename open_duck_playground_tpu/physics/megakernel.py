@@ -317,7 +317,6 @@ def _build_kernel(m: Model, n_substeps: int):
         desc_mask=desc_np,
         dofpair1=dofpair_np.reshape(nv, nv, 1),
         body_inertia3=body_inertia.reshape(nbody, 1, 3, 1),
-        eye3_b=np.eye(3, dtype=np.float32).reshape(1, 3, 3, 1),
     )
     const_names = list(CONSTS.keys())
     const_values = [CONSTS[k] for k in const_names]
@@ -507,29 +506,36 @@ def _build_kernel(m: Model, n_substeps: int):
                 for k in range(3)
             )
             mN = body_mass[:, None, None, :]
-            ib_stack = jnp.concatenate(
-                [
-                    jnp.concatenate([ricr + mN * cxcxT, mN * cx], axis=2),
-                    jnp.concatenate(
-                        [mN * jnp.swapaxes(cx, 1, 2), mN * C["eye3_b"]], axis=2
-                    ),
-                ],
-                axis=1,
-            )  # (nbody,6,6,T)
+            # spatial inertia in 3x3 blocks [[TL, TR], [TR^T, m·I]]: the
+            # (nbody,6,6,T) stack is never concatenated — the lower-left
+            # block is TR contracted along the other axis and the
+            # lower-right is diagonal mass, so both cost nothing to store
+            ib_tl = ricr + mN * cxcxT  # (nbody,3,3,T)
+            ib_tr = mN * cx  # (nbody,3,3,T)
+
+            def ib_apply(w3, v3):
+                # [[TL,TR],[TR^T,m·I]] @ [w3; v3] without materializing 6x6
+                top = jnp.sum(ib_tl * w3[:, None, :, :], axis=2) + jnp.sum(
+                    ib_tr * v3[:, None, :, :], axis=2
+                )
+                bot = (
+                    jnp.sum(ib_tr * w3[:, :, None, :], axis=1)
+                    + body_mass[:, None, :] * v3
+                )
+                return top, bot
 
             # RNE bias forces, batched: per-body f = I*acc + v x* I*v, then
             # qfrc_bias_i = cdof_i . (subtree sum of f at body(i)) — the
             # subtree reduction is one descendant-mask MXU matmul.
             acc_all = grav[None] + cacc_dofsum  # (nbody,6,T)
-            iacc = jnp.sum(ib_stack * acc_all[:, None, :, :], axis=2)
-            iv = jnp.sum(ib_stack * cvel[:, None, :, :], axis=2)
             vang, vlin = cvel[:, :3, :], cvel[:, 3:, :]
-            ftor, flin = iv[:, :3, :], iv[:, 3:, :]
+            ia_top, ia_bot = ib_apply(acc_all[:, :3, :], acc_all[:, 3:, :])
+            ftor, flin = ib_apply(vang, vlin)
             fxf = jnp.concatenate(
                 [lcross(vang, ftor) + lcross(vlin, flin), lcross(vang, flin)],
                 axis=1,
             )
-            f_all = iacc + fxf  # (nbody,6,T)
+            f_all = jnp.concatenate([ia_top, ia_bot], axis=1) + fxf
             fsub = mask_dot(C["desc_mask"], f_all)  # subtree sums
             fdof = jnp.stack([fsub[dofbody[i]] for i in range(nv)], axis=0)
             qfrc_bias = jnp.sum(cdof * fdof, axis=1)
@@ -539,11 +545,28 @@ def _build_kernel(m: Model, n_substeps: int):
             # M[i,j] = (IC[body(i)] @ cdof_i) . cdof_j on the ancestor-pair
             # support — O(nv^2*6) instead of the O(nbody*nv^2*6) per-body
             # J^T I J accumulation.
-            IC = mask_dot(
-                C["desc_mask"], ib_stack.reshape(nbody, 36, T)
-            ).reshape(nbody, 6, 6, T)
-            ICdof = jnp.stack([IC[dofbody[i]] for i in range(nv)], axis=0)
-            fC = jnp.sum(ICdof * cdof[:, None, :, :], axis=2)  # (nv,6,T)
+            # composite inertias per 3x3 block (lower-left = TR^T, lower-
+            # right = subtree-mass diagonal — both free given TL/TR/msub)
+            IC_tl = mask_dot(
+                C["desc_mask"], ib_tl.reshape(nbody, 9, T)
+            ).reshape(nbody, 3, 3, T)
+            IC_tr = mask_dot(
+                C["desc_mask"], ib_tr.reshape(nbody, 9, T)
+            ).reshape(nbody, 3, 3, T)
+            msub = mask_dot(C["desc_mask"], body_mass[:, None, :])[:, 0, :]
+            tl_dof = jnp.stack([IC_tl[dofbody[i]] for i in range(nv)], axis=0)
+            tr_dof = jnp.stack([IC_tr[dofbody[i]] for i in range(nv)], axis=0)
+            ms_dof = jnp.stack([msub[dofbody[i]] for i in range(nv)], axis=0)
+            cdw = cdof[:, :3, :]
+            cdv = cdof[:, 3:, :]
+            fC_top = jnp.sum(tl_dof * cdw[:, None, :, :], axis=2) + jnp.sum(
+                tr_dof * cdv[:, None, :, :], axis=2
+            )
+            fC_bot = (
+                jnp.sum(tr_dof * cdw[:, :, None, :], axis=1)
+                + ms_dof[:, None, :] * cdv
+            )
+            fC = jnp.concatenate([fC_top, fC_bot], axis=1)  # (nv,6,T)
             mdiag = jnp.sum(fC * cdof, axis=1)  # (nv,T)
             if USE_BLOCK:
                 # assemble M directly in block-arrow form: the only nonzero

@@ -8,6 +8,11 @@ optimizations move directly.
         [--envs 4096] [--steps 50] [--tile 128]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 
