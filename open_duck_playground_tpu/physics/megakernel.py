@@ -84,6 +84,63 @@ def lquat_normalize(q):
     return q * jax.lax.rsqrt(jnp.sum(q * q, axis=-2, keepdims=True))
 
 
+def lquat_mul_constq(a, bq):
+    """a (4,T) quaternion-multiplied by a CONSTANT quaternion (4 floats).
+
+    Frame constants (body_quat, site_quat, geom_quat, body_iquat) are
+    structural: expanding them as python floats lets identity quats vanish
+    and zero components emit no ops at all."""
+    bw, bx, by, bz = (float(v) for v in bq)
+    if abs(bw - 1) < 1e-12 and abs(bx) < 1e-12 and abs(by) < 1e-12 and abs(bz) < 1e-12:
+        return a
+    aw, ax, ay, az = a[0], a[1], a[2], a[3]
+
+    def lin(*terms):
+        out = None
+        for c, v in terms:
+            if abs(c) < 1e-12:
+                continue
+            t = v if c == 1.0 else c * v
+            out = t if out is None else out + t
+        return out if out is not None else 0.0 * aw
+
+    return jnp.stack(
+        [
+            lin((bw, aw), (-bx, ax), (-by, ay), (-bz, az)),
+            lin((bx, aw), (bw, ax), (bz, ay), (-by, az)),
+            lin((by, aw), (-bz, ax), (bw, ay), (bx, az)),
+            lin((bz, aw), (by, ax), (-bx, ay), (bw, az)),
+        ]
+    )
+
+
+def lquat_rotate_constv(q, v):
+    """Rotate a CONSTANT 3-vector (floats) by quaternion q (4,T).
+
+    Returns None when v == 0 (callers skip the add entirely — true for
+    every jnt_pos on the duck)."""
+    v0, v1, v2 = (float(x) for x in v)
+    if abs(v0) < 1e-12 and abs(v1) < 1e-12 and abs(v2) < 1e-12:
+        return None
+    u0, u1, u2 = q[1], q[2], q[3]
+
+    def lin(ca, a_, cb, b_):
+        if abs(ca) < 1e-12 and abs(cb) < 1e-12:
+            return 0.0 * u0
+        if abs(ca) < 1e-12:
+            return b_ if cb == 1.0 else cb * b_
+        if abs(cb) < 1e-12:
+            return a_ if ca == 1.0 else ca * a_
+        return ca * a_ + cb * b_
+
+    uv = jnp.stack(
+        [lin(v2, u1, -v1, u2), lin(v0, u2, -v2, u0), lin(v1, u0, -v0, u1)]
+    )
+    uuv = lcross(q[1:], uv)
+    base = jnp.stack([v0 + 0.0 * u0, v1 + 0.0 * u0, v2 + 0.0 * u0])
+    return base + 2.0 * (q[:1] * uv + uuv)
+
+
 def lquat_to_mat(q):
     """(4,T) -> (3,3,T)."""
     w, x, y, z = q[0], q[1], q[2], q[3]
@@ -137,6 +194,15 @@ def _build_kernel(m: Model, n_substeps: int):
     ctrlrange = g(m.actuator_ctrlrange)
     forcerange = g(m.actuator_forcerange)
     dof_damping = g(m.dof_damping)
+    body_pos_np = g(m.body_pos)
+    body_quat_np = g(m.body_quat)
+    body_iquat_np = g(m.body_iquat)
+    jnt_pos_np = g(m.jnt_pos)
+    jnt_axis_np = g(m.jnt_axis)
+    site_pos_np = g(m.site_pos)
+    site_quat_np = g(m.site_quat)
+    geom_pos_np = g(m.geom_pos)
+    geom_quat_np = g(m.geom_quat)
     gravity = [float(v) for v in np.asarray(m.gravity)]
     dt = float(s.timestep)
 
@@ -299,16 +365,7 @@ def _build_kernel(m: Model, n_substeps: int):
         adr += dim
 
     CONSTS = dict(
-        body_pos=g(m.body_pos),
-        body_quat=g(m.body_quat),
-        body_iquat=g(m.body_iquat),
-        jnt_pos=g(m.jnt_pos),
-        jnt_axis=g(m.jnt_axis),
-        site_pos=g(m.site_pos),
-        site_quat=g(m.site_quat),
         foot_hull=g(m.foot_hull).reshape(nfoot * nvert, 3),
-        geom_pos=g(m.geom_pos),
-        geom_quat=g(m.geom_quat),
         anc_mask=anc_np,
         anc_mask11=anc_np.reshape(nbody, nv, 1, 1),
         pred_mask=structure.dof_pred_mask(s).astype(np.float32),
@@ -353,9 +410,6 @@ def _build_kernel(m: Model, n_substeps: int):
         f32 = jnp.float32
         anc = C["anc_mask"]
 
-        def cvec(tab, i):
-            return C[tab][i][:, None]
-
         def forward_lane(qpos, qvel, warm):
             zeroT = qpos[0] * 0.0
             oneT = zeroT + 1.0
@@ -381,8 +435,9 @@ def _build_kernel(m: Model, n_substeps: int):
             for level in levels:
                 for b in level:
                     p = s.body_parentid[b]
-                    pos = xpos[p] + lquat_rotate(xquat[p], cvec("body_pos", b) + zero3)
-                    quat = lquat_mul(xquat[p], cvec("body_quat", b) + 0.0 * xquat[p])
+                    rr = lquat_rotate_constv(xquat[p], body_pos_np[b])
+                    pos = xpos[p] if rr is None else xpos[p] + rr
+                    quat = lquat_mul_constq(xquat[p], body_quat_np[b])
                     for j in range(
                         s.body_jntadr[b], s.body_jntadr[b] + s.body_jntnum[b]
                     ):
@@ -395,16 +450,23 @@ def _build_kernel(m: Model, n_substeps: int):
                             xanchor[j] = pos
                             xaxis[j] = jnp.stack([zeroT, zeroT, oneT])
                         else:
-                            jp_c = cvec("jnt_pos", j)
-                            ja_c = cvec("jnt_axis", j)
-                            anchor = pos + lquat_rotate(quat, jp_c + zero3)
-                            ax_w = lquat_rotate(quat, ja_c + zero3)
+                            jpv = jnt_pos_np[j]
+                            jav = jnt_axis_np[j]
+                            ra = lquat_rotate_constv(quat, jpv)
+                            anchor = pos if ra is None else pos + ra
+                            ax_w = lquat_rotate_constv(quat, jav)
                             sh = sh_all[hrow[j]]
                             jq = jnp.stack(
-                                [ch_all[hrow[j]], ja_c[0] * sh, ja_c[1] * sh, ja_c[2] * sh]
+                                [
+                                    ch_all[hrow[j]],
+                                    float(jav[0]) * sh if abs(jav[0]) > 1e-12 else zeroT,
+                                    float(jav[1]) * sh if abs(jav[1]) > 1e-12 else zeroT,
+                                    float(jav[2]) * sh if abs(jav[2]) > 1e-12 else zeroT,
+                                ]
                             )
                             quat = lquat_mul(quat, jq)
-                            pos = anchor - lquat_rotate(quat, jp_c + zero3)
+                            if ra is not None:
+                                pos = anchor - lquat_rotate_constv(quat, jpv)
                             xanchor[j] = anchor
                             xaxis[j] = ax_w
                     xpos[b] = pos
@@ -414,9 +476,7 @@ def _build_kernel(m: Model, n_substeps: int):
                 xpos[b] + lquat_rotate(xquat[b], body_ipos[b]) for b in range(nbody)
             ]
             ximat = [
-                lquat_to_mat(
-                    lquat_mul(xquat[b], cvec("body_iquat", b) + 0.0 * xquat[b])
-                )
+                lquat_to_mat(lquat_mul_constq(xquat[b], body_iquat_np[b]))
                 for b in range(nbody)
             ]
 
@@ -775,15 +835,26 @@ def _build_kernel(m: Model, n_substeps: int):
             # ----- collision (hull vs plane | hfield patch)
             con_dist, con_pos, con_foot, con_nrm = [], [], [], []
             if not IS_HFIELD:
-                fq4 = cvec("geom_quat", floor_gid) + 0.0 * xquat[0]
-                nrm = lquat_rotate(fq4, jnp.stack([zeroT, zeroT, oneT]))
-                fb_pos = xpos[floor_body] + lquat_rotate(
-                    xquat[floor_body], cvec("geom_pos", floor_gid) + zero3
+                # the floor normal is a pure structural constant: rotate ez
+                # by the (numpy) floor geom quat at build time
+                fw, fx_, fy_, fz_ = (float(v) for v in geom_quat_np[floor_gid])
+                nrm_np = [
+                    2.0 * (fx_ * fz_ + fw * fy_),
+                    2.0 * (fy_ * fz_ - fw * fx_),
+                    1.0 - 2.0 * (fx_ * fx_ + fy_ * fy_),
+                ]
+                nrm = jnp.stack([c + zeroT for c in nrm_np])
+                rfb = lquat_rotate_constv(
+                    xquat[floor_body], geom_pos_np[floor_gid]
+                )
+                fb_pos = (
+                    xpos[floor_body] if rfb is None else xpos[floor_body] + rfb
                 )
             for fi, gid in enumerate(s.collide_geom_ids):
                 b = s.geom_bodyid[gid]
-                gp = xpos[b] + lquat_rotate(xquat[b], cvec("geom_pos", gid) + zero3)
-                gq = lquat_mul(xquat[b], cvec("geom_quat", gid) + 0.0 * xquat[b])
+                rg = lquat_rotate_constv(xquat[b], geom_pos_np[gid])
+                gp = xpos[b] if rg is None else xpos[b] + rg
+                gq = lquat_mul_constq(xquat[b], geom_quat_np[gid])
                 hull = C["foot_hull"][fi * nvert : (fi + 1) * nvert]  # (nvert,3)
                 verts = gp[None] + lquat_rotate(
                     gq[None], hull[:, :, None] + 0.0 * gp[None]
@@ -1130,8 +1201,9 @@ def _build_kernel(m: Model, n_substeps: int):
             site_xpos_l, site_xmat_l, site_xquat_l = [], [], []
             for i in range(s.nsite):
                 b = s.site_bodyid[i]
-                sp = xpos[b] + lquat_rotate(xquat[b], cvec("site_pos", i) + zero3)
-                sq = lquat_mul(xquat[b], cvec("site_quat", i) + 0.0 * xquat[b])
+                rs = lquat_rotate_constv(xquat[b], site_pos_np[i])
+                sp = xpos[b] if rs is None else xpos[b] + rs
+                sq = lquat_mul_constq(xquat[b], site_quat_np[i])
                 site_xpos_l.append(sp)
                 site_xquat_l.append(sq)
                 site_xmat_l.append(lquat_to_mat(sq))
