@@ -88,14 +88,23 @@ class Runner:
             )
             print("-----------")
 
-    def policy_params_fn(self, current_step, make_policy, variables) -> None:
+    def policy_params_fn(
+        self, current_step, make_policy, variables, full_state=None
+    ) -> None:
         del make_policy
         from open_duck_playground_tpu.train import checkpoint as CKPT
 
         d = datetime.now().strftime("%Y_%m_%d_%H%M%S")
         path = self.output_dir / f"{d}_{current_step}"
         print(f"Saving checkpoint (step: {current_step}): {path}")
-        CKPT.save(path, variables)
+        if full_state is not None:
+            # full training state (params + Adam moments + step counter +
+            # epoch key) so --restore_checkpoint_path resumes training
+            # exactly, not just the policy weights
+            training_state, epoch_key = full_state
+            CKPT.save_training_state(path, training_state, epoch_key)
+        else:
+            CKPT.save(path, variables)
         try:
             from open_duck_playground_tpu.export.onnx_export import export_policy
 
@@ -149,6 +158,7 @@ def main(argv=None) -> None:
             "rough_terrain",
             "flat_terrain_backlash",
             "rough_terrain_backlash",
+            "flat_terrain_no_head",
         ],
     )
     parser.add_argument("--restore_checkpoint_path", type=str, default=None)

@@ -28,6 +28,9 @@ TASKS = {
     "rough_terrain": XML_DIR / "scene_rough_terrain.xml",
     "flat_terrain_backlash": XML_DIR / "scene_flat_terrain_backlash.xml",
     "rough_terrain_backlash": XML_DIR / "scene_rough_terrain_backlash.xml",
+    # no-head robot build (reference README.md:63 lists the variant; upstream
+    # never shipped the XML — generated here by tools/gen_no_head_xml.py)
+    "flat_terrain_no_head": XML_DIR / "scene_flat_terrain_no_head.xml",
 }
 
 FEET_SITES = ["left_foot", "right_foot"]

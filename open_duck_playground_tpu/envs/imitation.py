@@ -34,7 +34,10 @@ def imitation_reward(
         return jnp.nan_to_num(0.0)
 
     legs = lambda x16: jnp.concatenate([x16[:5], x16[11:]])
-    robot_legs = lambda x14: jnp.concatenate([x14[:5], x14[9:]])
+    if joints_qpos.shape[-1] == 10:  # no-head robot: all joints are legs
+        robot_legs = lambda x10: x10
+    else:
+        robot_legs = lambda x14: jnp.concatenate([x14[:5], x14[9:]])
 
     lin = base_qvel[:3]
     ang = base_qvel[3:6]

@@ -52,6 +52,8 @@ def stand_still(cmd, joints_qpos, joints_qvel, default_pose, ignore_head=False):
     (rewards.py:93-117). With ignore_head, only the two 5-dof legs count
     (joint layout: 5 left leg, 4 head, 5 right leg)."""
     cmd_norm = jnp.linalg.norm(cmd[:3])
+    if ignore_head and joints_qpos.shape[-1] == 10:
+        ignore_head = False  # no-head robot: all joints ARE legs
     if ignore_head:
         sel = jnp.concatenate([jnp.arange(5), jnp.arange(9, 14)])
         pose = jnp.sum(jnp.abs(joints_qpos[sel] - default_pose[sel]))
@@ -66,6 +68,8 @@ def head_pos(joints_qpos, joints_qvel, cmd):
     """Squared head-joint position error vs the 4 head commands, gated to
     moving commands (rewards.py:131-147). Head joints sit at slots 5:9."""
     del joints_qvel
+    if joints_qpos.shape[-1] == 10:  # no-head robot: nothing to track
+        return jnp.array(0.0, jnp.float32)
     move_norm = jnp.linalg.norm(cmd[:3])
     err = jnp.sum(jnp.square(joints_qpos[5:9] - cmd[3:]))
     return _nn(err) * (move_norm > 0.01)

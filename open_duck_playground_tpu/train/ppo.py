@@ -91,7 +91,7 @@ def train(
     value_obs_key: str = "privileged_state",
     randomization_fn: Optional[Callable] = None,
     progress_fn: Callable[[int, dict], None] = lambda *a: None,
-    policy_params_fn: Callable = lambda *a: None,
+    policy_params_fn: Callable = lambda *a, **k: None,
     restore_checkpoint_path: Optional[str] = None,
     mesh: Optional[Mesh] = None,
     max_env_steps_per_jit: Optional[int] = 8_192_000,
@@ -150,14 +150,12 @@ def train(
         env_steps=jnp.zeros((), jnp.int64 if jax.config.x64_enabled else jnp.int32),
     )
 
+    restored_epoch_key = None
     if restore_checkpoint_path is not None:
         from open_duck_playground_tpu.train import checkpoint as CKPT
 
-        normalizer, params = CKPT.restore(
-            restore_checkpoint_path, (training_state.normalizer, training_state.params)
-        )
-        training_state = training_state.replace(
-            params=params, normalizer=normalizer, opt_state=tx.init(params)
+        training_state, restored_epoch_key = CKPT.restore_training_state(
+            restore_checkpoint_path, training_state, tx
         )
 
     # ------------------------------------------------------------- rollout
@@ -373,21 +371,32 @@ def train(
     )
 
     rng, reset_rng, epoch_key = jax.random.split(rng, 3)
+    if restored_epoch_key is not None:
+        epoch_key = restored_epoch_key
     env_keys = jax.device_put(jax.random.split(reset_rng, num_envs), data_sharding)
     env_state = jax.jit(train_env.reset, out_shardings=data_sharding)(env_keys)
 
     all_metrics = {}
-    current_step = 0
+    current_step = int(jax.device_get(training_state.env_steps))
+    # Fresh eval key chain: each eval gets an independent split (brax
+    # re-splits per eval); a fixed key would make all evals of a run share
+    # identical reset states and noise streams.
+    eval_rng = jax.random.PRNGKey(seed + 1000)
 
     def do_eval_and_hooks(ts):
-        nonlocal all_metrics
+        nonlocal all_metrics, eval_rng
         variables = (ts.normalizer, ts.params)
         metrics = dict(all_metrics)
         if evaluator is not None:
-            rng_eval = jax.random.PRNGKey(seed + 1000)
+            eval_rng, rng_eval = jax.random.split(eval_rng)
             metrics.update(jax.device_get(evaluator(variables, rng_eval)))
         progress_fn(current_step, metrics)
-        policy_params_fn(current_step, make_policy, jax.device_get(variables))
+        policy_params_fn(
+            current_step,
+            make_policy,
+            jax.device_get(variables),
+            full_state=jax.device_get((ts, epoch_key)),
+        )
 
     # eval before any training (brax does an initial eval when num_evals > 1)
     if num_evals > 1:

@@ -80,8 +80,17 @@ def test_plot_obs(tmp_path, exported_policy):
     with open(p, "wb") as f:
         pickle.dump([o for o in obs], f)
     out = tmp_path / "obs.png"
-    plot_obs.plot([str(p)], str(out))
+    plot_obs.plot_sections([str(p)], str(out))
     assert out.exists() and out.stat().st_size > 1000
+
+    out2 = tmp_path / "per_joint.png"
+    plot_obs.plot_per_joint([str(p)], str(out2))
+    assert out2.exists() and out2.stat().st_size > 1000
+
+    out3 = tmp_path / "dims.png"
+    plot_obs.plot_dims([str(p)], [0, 13, 41], str(out3))
+    assert out3.exists() and out3.stat().st_size > 1000
+    assert len(plot_obs.dim_names()) == 101
 
 
 def test_low_pass_filter():

@@ -103,3 +103,70 @@ def test_megakernel_matches_reference_engine_on_tpu(scene):
         pytest.skip(f"TPU not acquirable: {out[-300:]}")
     assert r.returncode == 0, out[-3000:]
     assert "MEGAKERNEL_OK" in r.stdout, out[-3000:]
+
+
+_SHARDED_SCRIPT = r"""
+import jax, jax.numpy as jnp, numpy as np
+if jax.devices()[0].platform == "cpu":
+    print("NO_TPU"); raise SystemExit(0)
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from open_duck_playground_tpu.envs.joystick import Joystick
+from open_duck_playground_tpu.physics import megakernel as MK
+
+# The production multi-chip configuration: the env step (megakernel physics
+# inside) jitted under an explicit ("data",)-mesh sharding at a
+# LANE_TILE-aligned batch. On this machine the mesh has one real chip; the
+# sharded-jit path (GSPMD partitioning around the Pallas custom call) is the
+# same code XLA runs at n chips.
+mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+data_sh = NamedSharding(mesh, P("data"))
+
+env = Joystick(task="flat_terrain_backlash", use_megakernel=True)
+B = MK.LANE_TILE
+keys = jax.device_put(jax.random.split(jax.random.PRNGKey(0), B), data_sh)
+reset = jax.jit(jax.vmap(env.reset), out_shardings=data_sh)
+state = reset(keys)
+acts = jax.device_put(jnp.zeros((B, env.action_size), jnp.float32), data_sh)
+
+step = jax.jit(
+    jax.vmap(env.step),
+    in_shardings=(data_sh, data_sh),
+    out_shardings=data_sh,
+)
+lowered = step.lower(state, acts)
+stablehlo = lowered.as_text()
+# no silent fallback: the Pallas megakernel must be in the sharded module
+assert "tpu_custom_call" in stablehlo, "megakernel NOT in sharded jit module"
+print("SHARDED_MODULE_HAS_MEGAKERNEL")
+out = step(state, acts)
+jax.block_until_ready(out.reward)
+r = np.asarray(out.reward)
+assert r.shape == (B,) and np.isfinite(r).all(), r
+print("physics backend: pallas megakernel under NamedSharding mesh=('data',)")
+print("SHARDED_MEGAKERNEL_OK")
+"""
+
+
+def test_megakernel_sharded(tmp_path):
+    """VERDICT r1 item 2a: the megakernel under a sharded jit — explicit
+    NamedSharding in/out shardings over a ('data',) mesh at LANE_TILE-aligned
+    batch, with a compiled-module assertion that the Pallas kernel (not the
+    jnp fallback) is what runs."""
+    r = subprocess.run(
+        [sys.executable, "-c", _SHARDED_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=2400,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=_tpu_env(),
+    )
+    out = r.stdout + r.stderr
+    if "NO_TPU" in r.stdout:
+        pytest.skip("no TPU backend available")
+    if r.returncode != 0 and ("UNAVAILABLE" in out or "already in use" in out
+                              or "Unable to initialize backend" in out):
+        pytest.skip(f"TPU not acquirable: {out[-300:]}")
+    assert r.returncode == 0, out[-3000:]
+    assert "SHARDED_MODULE_HAS_MEGAKERNEL" in r.stdout, out[-3000:]
+    assert "SHARDED_MEGAKERNEL_OK" in r.stdout, out[-3000:]

@@ -1,22 +1,32 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh (SURVEY §4:
 DCN/ICI tests stubbed with xla_force_host_platform_device_count)."""
 
+import pathlib
 import sys
 
 import jax
 import numpy as np
+import pytest
+
+REPO = str(pathlib.Path(__file__).resolve().parent.parent)
+
+needs_virtual_mesh = pytest.mark.skipif(
+    jax.device_count() < 8,
+    reason="needs the 8-device virtual CPU mesh (run via tests/conftest.py)",
+)
 
 
 def test_graft_entry_multichip_dryrun():
-    sys.path.insert(0, "/root/repo")
+    # hermetic: dryrun_multichip re-execs in a JAX_PLATFORMS=cpu subprocess,
+    # so it needs no particular device count in THIS process
+    sys.path.insert(0, REPO)
     import __graft_entry__ as G
 
-    assert jax.device_count() == 8
     G.dryrun_multichip(8)
 
 
 def test_graft_entry_single():
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO)
     import __graft_entry__ as G
 
     fn, args = G.entry()

@@ -171,9 +171,10 @@ def test_checkpoint_resume(tmp_path):
 
     saved = {}
 
-    def params_fn(step, make_policy, variables):
+    def params_fn(step, make_policy, variables, full_state=None):
         saved["path"] = tmp_path / f"ckpt_{step}"
         CKPT.save(saved["path"], variables)
+        saved["full_state"] = full_state
 
     common = dict(
         num_envs=16,
@@ -217,3 +218,83 @@ def test_checkpoint_resume(tmp_path):
     s_leaves = jax.tree_util.tree_leaves(variables[1])
     for a, b in zip(r_leaves, s_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_full_training_state_resume(tmp_path):
+    """Full-fidelity resume: a checkpoint written by save_training_state
+    restores Adam moments, the env-step counter, and the epoch key — a
+    resumed run continues training rather than restarting the optimizer
+    (VERDICT r1 item 7)."""
+    from open_duck_playground_tpu.train import checkpoint as CKPT
+
+    saved = {}
+
+    def params_fn(step, make_policy, variables, full_state=None):
+        if full_state is not None:
+            ts, epoch_key = full_state
+            saved["path"] = tmp_path / f"full_{step}"
+            saved["ts"] = ts
+            saved["epoch_key"] = epoch_key
+            CKPT.save_training_state(saved["path"], ts, epoch_key)
+
+    common = dict(
+        num_envs=16,
+        episode_length=20,
+        unroll_length=5,
+        num_minibatches=2,
+        batch_size=8,
+        num_updates_per_batch=1,
+        num_evals=2,
+        num_eval_envs=8,
+        seed=0,
+        policy_hidden_layer_sizes=(16,),
+        value_hidden_layer_sizes=(16,),
+    )
+    ppo.train(
+        PointEnv(), num_timesteps=4_000, policy_params_fn=params_fn, **common
+    )
+    assert "path" in saved
+    steps_at_save = int(saved["ts"].env_steps)
+    assert steps_at_save >= 4_000
+
+    # resume: the loop continues from the restored step counter toward a
+    # higher num_timesteps, with Adam moments and the epoch key restored
+    resumed = {}
+
+    def resume_fn(step, make_policy, variables, full_state=None):
+        if full_state is not None:
+            resumed["ts"], resumed["epoch_key"] = full_state
+            resumed["step"] = step
+
+    ppo.train(
+        PointEnv(),
+        num_timesteps=steps_at_save + 2_000,
+        restore_checkpoint_path=str(saved["path"]),
+        policy_params_fn=resume_fn,
+        **common,
+    )
+    # step counter continued (did not restart at zero)
+    assert int(resumed["ts"].env_steps) > steps_at_save
+
+    # Adam moments were restored, not re-initialized: at the first
+    # callback the optimizer count must exceed what a cold run of the
+    # resumed segment alone would produce
+    def adam_count(opt_state):
+        counts = [
+            np.asarray(l)
+            for l in jax.tree_util.tree_leaves(opt_state)
+            if np.asarray(l).ndim == 0
+        ]
+        return max(int(c) for c in counts)
+
+    assert adam_count(saved["ts"].opt_state) > 0
+    assert adam_count(resumed["ts"].opt_state) > adam_count(saved["ts"].opt_state)
+
+    # legacy tuple checkpoints still restore (params-only path)
+    CKPT.save(tmp_path / "legacy", (saved["ts"].normalizer, saved["ts"].params))
+    ppo.train(
+        PointEnv(),
+        num_timesteps=2_000,
+        restore_checkpoint_path=str(tmp_path / "legacy"),
+        **common,
+    )
