@@ -9,11 +9,17 @@ U(-0.03,0.03), actuator kp x U(0.9,1.1) applied to gainprm[:,0] and
 biasprm[:,1]=-kp. Backlash dofs excluded via the frictionloss>0 structural
 filter (randomize.py:31-37).
 
-Deliberate deviation: the reference hardcodes FLOOR_GEOM_ID=0 / TORSO_BODY_ID=1
-(randomize.py:22-23); geom 0 is actually a *visual* geom in the compiled duck
-(the real floor is the last geom), so upstream floor-friction DR is a silent
-no-op. We target the real floor geom; body 1 ("base", the torso root) matches
-upstream intent.
+Deliberate deviations: the reference hardcodes FLOOR_GEOM_ID=0 /
+TORSO_BODY_ID=1 (randomize.py:22-23). Geom 0 is actually a *visual* geom in
+the compiled duck (the real floor is the last geom), so upstream
+floor-friction DR is a silent no-op — we target the real floor geom. Body 1
+("base") is the massless freejoint stub (no inertial, no geoms): upstream's
+torso CoM jitter is a no-op there, and its additive mass offset
+U(-0.1, 0.1) gives the body *negative* mass on half of all draws — which
+ill-conditions the mass matrix (measured qacc_smooth ~3e4 rad/s^2) and NaNs
+the f32 Newton solver on the lighter no-head robot. We apply both to the
+first body with positive nominal mass (trunk_assembly, the intended torso)
+and clamp the randomized mass to stay positive.
 """
 
 from __future__ import annotations
@@ -31,7 +37,10 @@ def domain_randomize(model: Model, rng: jax.Array):
     fd = np.asarray(s.friction_dofs, dtype=np.int32)
     jnt_of_dof = [s.dof_jntid[d] for d in fd]
     qadr = np.asarray([s.jnt_qposadr[j] for j in jnt_of_dof], dtype=np.int32)
-    torso_body = 1
+    # the torso = first body with actual mass (trunk_assembly); body 1 is the
+    # massless freejoint stub (see module docstring)
+    nominal_mass = np.asarray(model.body_mass)
+    torso_body = int(np.argmax(nominal_mass > 1e-9))
     floor_geom = s.floor_geom_id
 
     ftype = model.body_mass.dtype
@@ -65,8 +74,12 @@ def domain_randomize(model: Model, rng: jax.Array):
         dmass = jax.random.uniform(key, (s.nbody,), minval=0.9, maxval=1.1, dtype=ftype)
         body_mass = model.body_mass * dmass
         rng, key = jax.random.split(rng)
-        body_mass = body_mass.at[torso_body].add(
-            jax.random.uniform(key, minval=-0.1, maxval=0.1, dtype=ftype)
+        new_torso_mass = body_mass[torso_body] + jax.random.uniform(
+            key, minval=-0.1, maxval=0.1, dtype=ftype
+        )
+        # clamp: a non-positive body mass makes the mass matrix indefinite
+        body_mass = body_mass.at[torso_body].set(
+            jnp.maximum(new_torso_mass, 0.05 * model.body_mass[torso_body])
         )
 
         rng, key = jax.random.split(rng)

@@ -27,6 +27,21 @@ def _where_done(done, x, y):
     return jax.tree.map(sel, x, y)
 
 
+def _env_finite(state: State) -> jnp.ndarray:
+    """(num_envs,) bool: True where obs and physics state are all finite.
+
+    The env's own NaN-guard termination flags the episode done, but the
+    non-finite obs of that step would still flow into the next transition
+    (and from there permanently poison the running normalizer and the loss)
+    unless the wrapper quarantines it here."""
+    leaves = jax.tree.leaves((state.obs, state.data.qpos, state.data.qvel))
+    flags = [
+        jnp.isfinite(leaf).reshape(leaf.shape[0], -1).all(axis=1)
+        for leaf in leaves
+    ]
+    return jnp.stack(flags, axis=0).all(axis=0)
+
+
 class TrainingEnv:
     """Batched training env: episode truncation at `episode_length`,
     autoreset to the cached initial state, optional per-env randomized model.
@@ -68,6 +83,22 @@ class TrainingEnv:
         state = jax.vmap(reset_one, in_axes=(self._model_axes, 0))(
             self._batched_model, rng
         )
+        # finite floor: if a pathological randomized model makes reset's
+        # forward pass blow up, nan_to_num the state rather than caching NaN
+        # as the autoreset target (which would poison every later step of
+        # that env — the step-time quarantine recycles first_obs/first_data)
+        bad = ~_env_finite(state)
+
+        def fix(a):
+            if not jnp.issubdtype(a.dtype, jnp.floating):
+                return a
+            d = bad.reshape(bad.shape + (1,) * (a.ndim - bad.ndim))
+            return jnp.where(d, jnp.nan_to_num(a), a)
+
+        state = state.replace(
+            data=jax.tree.map(fix, state.data), obs=jax.tree.map(fix, state.obs)
+        )
+
         info = dict(state.info)
         info["steps"] = jnp.zeros(rng.shape[0], jnp.float32)
         info["truncation"] = jnp.zeros(rng.shape[0], jnp.float32)
@@ -96,6 +127,30 @@ class TrainingEnv:
             nstate = jax.vmap(step_one, in_axes=(self._model_axes, 0, 0))(
                 self._batched_model, nstate, action
             )
+
+        # quarantine non-finite envs: replace their post-step obs/physics
+        # state with the cached reset state and terminate, so no NaN/inf ever
+        # reaches the rollout buffer (normalizer + loss stay finite even if
+        # the solver blows up in a pathological contact state)
+        bad = ~_env_finite(nstate)
+
+        def _sanitize(tree):  # nan_to_num float leaves of bad envs only
+            def fix(a):
+                if not jnp.issubdtype(a.dtype, jnp.floating):
+                    return a
+                d = bad.reshape(bad.shape + (1,) * (a.ndim - bad.ndim))
+                return jnp.where(d, jnp.nan_to_num(a), a)
+
+            return jax.tree.map(fix, tree)
+
+        nstate = nstate.replace(
+            data=_where_done(bad, first_data, nstate.data),
+            obs=_where_done(bad, first_obs, nstate.obs),
+            reward=jnp.where(bad, jnp.zeros_like(nstate.reward), nstate.reward),
+            done=jnp.where(bad, jnp.ones_like(nstate.done), nstate.done),
+            info=_sanitize(nstate.info),
+            metrics=_sanitize(nstate.metrics),
+        )
 
         steps = steps_prev + self._action_repeat
         at_limit = steps >= self._episode_length

@@ -95,6 +95,7 @@ def train(
     restore_checkpoint_path: Optional[str] = None,
     mesh: Optional[Mesh] = None,
     max_env_steps_per_jit: Optional[int] = 8_192_000,
+    debug_loss_metrics: bool = False,
 ):
     """Returns (make_policy, (normalizer, params), metrics)."""
     assert batch_size * num_minibatches == num_envs, (
@@ -234,12 +235,29 @@ def train(
         entropy_loss = -entropy_cost * ent
 
         total = policy_loss + v_loss + entropy_loss
-        return total, {
+        out_metrics = {
             "total_loss": total,
             "policy_loss": policy_loss,
             "v_loss": v_loss,
             "entropy_loss": entropy_loss,
         }
+        if debug_loss_metrics:
+            am = lambda x: jnp.abs(x).max()
+            out_metrics.update(
+                obs_absmax=am(data["obs"]["state"]),
+                pobs_absmax=am(data["obs"]["privileged_state"]),
+                normobs_absmax=am(norm_obs["state"]),
+                pnormobs_absmax=am(norm_obs["privileged_state"]),
+                baseline_absmax=am(baseline),
+                bootstrap_absmax=am(bootstrap),
+                vs_absmax=am(vs),
+                adv_absmax=am(advantages),
+                rho_max=rho.max(),
+                lp_absmax=am(target_lp),
+                blp_absmax=am(behaviour_lp),
+                ent=ent,
+            )
+        return total, out_metrics
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -247,6 +265,10 @@ def train(
         params, opt_state, normalizer, key = carry
         key, ent_key = jax.random.split(key)
         (_, metrics), grads = grad_fn(params, normalizer, batch, ent_key)
+        # observability: a NaN/inf gradient poisons Adam state permanently;
+        # grad_norm in the metrics stream localizes *when* it happened
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["params_norm"] = optax.global_norm(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, normalizer, key), metrics

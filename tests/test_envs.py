@@ -110,6 +110,29 @@ def test_domain_randomize(joystick):
     assert batched.jnt_range.ndim == 2
 
 
+def test_domain_randomize_masses_stay_positive(joystick):
+    """Regression: the torso mass offset must hit the body that HAS the
+    torso mass (trunk_assembly), never the massless freejoint stub (body 1).
+    Upstream adds U(-0.1,0.1) to body 1 whose nominal mass is 0, giving
+    negative mass on half the draws — which ill-conditions the mass matrix
+    and NaNs the f32 Newton solver (discovered on the no-head robot, where
+    the blow-up poisoned training via NaN reset obs)."""
+    model = joystick.model
+    nominal = np.asarray(model.body_mass)
+    keys = jax.random.split(jax.random.PRNGKey(7), 512)
+    batched, _ = domain_randomize(model, keys)
+    masses = np.asarray(batched.body_mass)
+    assert (masses >= 0).all()
+    # massless bodies stay massless (multiplicative-only DR)
+    assert (masses[:, nominal == 0] == 0).all()
+    # the trunk got the additive offset: it varies beyond the 0.9-1.1 scaling
+    trunk = int(np.argmax(nominal > 1e-9))
+    lo, hi = masses[:, trunk].min(), masses[:, trunk].max()
+    assert lo >= 0.05 * nominal[trunk] - 1e-9
+    assert hi > nominal[trunk] * 1.1  # multiplicative cap alone can't reach this
+    assert lo < nominal[trunk] * 0.9  # nor can it reach this low
+
+
 def test_training_env_truncation_and_autoreset(joystick):
     wrapped = TrainingEnv(joystick, episode_length=3)
     keys = jax.random.split(jax.random.PRNGKey(0), 2)
@@ -124,3 +147,33 @@ def test_training_env_truncation_and_autoreset(joystick):
     st = step(st, a)  # autoreset to cached first state, then one step
     assert (np.asarray(st.info["steps"]) == 1).all()
     assert not np.allclose(np.asarray(st.data.qpos), qpos_done)
+
+
+def test_training_env_quarantines_nonfinite(joystick):
+    """A physics blow-up (NaN qpos/obs) in one env must be quarantined by the
+    wrapper — replaced with the cached reset state, done=1, reward zeroed —
+    so it can never reach the rollout buffer and poison the normalizer."""
+    wrapped = TrainingEnv(joystick, episode_length=100)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    st = jax.jit(wrapped.reset)(keys)
+    step = jax.jit(wrapped.step)
+    a = jnp.zeros((2, joystick.action_size))
+    st = step(st, a)
+
+    # inject a blow-up into env 0: NaN qpos + inf obs
+    bad_qpos = st.data.qpos.at[0].set(jnp.nan)
+    bad_obs = {
+        k: v.at[0].set(jnp.inf) if k == "state" else v for k, v in st.obs.items()
+    }
+    st_bad = st.replace(data=st.data.replace(qpos=bad_qpos), obs=bad_obs)
+
+    # stepping from the corrupted state: the *output* must be fully finite
+    out = step(st_bad, a)
+    for k, v in out.obs.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert np.isfinite(np.asarray(out.data.qpos)).all()
+    assert np.isfinite(np.asarray(out.reward)).all()
+    assert float(out.done[0]) == 1.0  # quarantined env is terminated
+    assert float(out.reward[0]) == 0.0  # and its reward zeroed
+    # env 1 unaffected
+    assert float(out.done[1]) in (0.0, 1.0)

@@ -84,7 +84,11 @@ print("MEGAKERNEL_OK")
 
 @pytest.mark.parametrize(
     "scene",
-    ["scene_flat_terrain_backlash.xml", "scene_rough_terrain_backlash.xml"],
+    [
+        "scene_flat_terrain_backlash.xml",
+        "scene_rough_terrain_backlash.xml",
+        "scene_flat_terrain_no_head.xml",
+    ],
 )
 def test_megakernel_matches_reference_engine_on_tpu(scene):
     r = subprocess.run(

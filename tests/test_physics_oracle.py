@@ -185,6 +185,7 @@ def test_grounded_stable_f32(setup32):
         "scene_flat_terrain.xml",
         "scene_rough_terrain.xml",
         "scene_rough_terrain_backlash.xml",
+        "scene_flat_terrain_no_head.xml",
     ],
 )
 def test_other_scenes_forward(xml_dir, scene):
