@@ -1,0 +1,110 @@
+"""Multi-host (DCN) bring-up test: two real OS processes, each owning 4
+virtual CPU devices, joined through `parallel.mesh.initialize_multihost`
+(jax.distributed) into one 8-device global mesh — then a jitted computation
+whose output sharding forces a cross-process reduction.
+
+This is the closest a single machine can get to the reference's multi-host
+story (SURVEY §2.3 "multi-host / DCN"): process boundaries are real, the
+coordination service is real, and the all-reduce crosses them. Only the
+wire (TCP loopback instead of DCN) is simulated.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+import jax
+import numpy as np
+
+sys.path.insert(0, %(repo)r)
+from open_duck_playground_tpu.parallel import mesh as M
+
+M.initialize_multihost(
+    coordinator_address="127.0.0.1:" + port,
+    num_processes=nproc,
+    process_id=pid,
+)
+assert jax.process_count() == nproc, jax.process_count()
+assert jax.local_device_count() == 4, jax.local_device_count()
+assert jax.device_count() == 4 * nproc, jax.device_count()
+
+mesh = M.make_mesh()  # all 8 global devices on the "data" axis
+sh = M.data_sharding(mesh)
+
+# each process contributes its own half of the global batch
+gshape = (16, 4)
+full = np.arange(gshape[0] * gshape[1], dtype=np.float32).reshape(gshape)
+local = full[pid * 8 : (pid + 1) * 8]
+garr = jax.make_array_from_process_local_data(sh, local, gshape)
+
+# replicated output of a global reduction => cross-process all-reduce
+out = jax.jit(lambda x: (2.0 * x).sum(), out_shardings=M.replicated(mesh))(garr)
+np.testing.assert_allclose(float(out), 2.0 * full.sum())
+
+# and a sharded elementwise map stays process-local (no gather): check the
+# addressable shards of the result match this process's slice
+y = jax.jit(lambda x: x + 1.0, out_shardings=sh)(garr)
+for s in y.addressable_shards:
+    np.testing.assert_allclose(np.asarray(s.data), full[s.index] + 1.0)
+
+print("MULTIHOST_OK", pid, flush=True)
+"""
+
+
+def _cpu_env(n_local: int) -> dict:
+    """Pure-CPU env with n_local virtual devices, axon/TPU triggers scrubbed
+    (same recipe as __graft_entry__.dryrun_multichip)."""
+    env = dict(os.environ)
+    flags = [
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append(f"--xla_force_host_platform_device_count={n_local}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_PLATFORM_NAME", None)
+    for k in list(env):
+        if "AXON" in k or k.startswith("TPU_"):
+            env.pop(k)
+    return env
+
+
+def test_two_process_multihost_mesh_and_collective():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    script = _WORKER % {"repo": REPO}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(pid), "2", port],
+            env=_cpu_env(4),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert f"MULTIHOST_OK {pid}" in out, out
