@@ -24,6 +24,7 @@ reference implementation and the CPU/odd-batch fallback.
 
 from __future__ import annotations
 
+import os
 from typing import List
 
 import jax
@@ -41,10 +42,40 @@ LANE_TILE = 128
 # Heightfield support: the kernel reads per-foot PxP local height patches
 # (world-frame z) extracted around each foot's previous-step site position by
 # the host wrapper — a full 256x256 hfield would need per-lane gathers the
-# VPU doesn't have, but an 8x8 patch lookup is two cheap one-hot contractions.
-HFIELD_PATCH = 8
+# VPU doesn't have, but a PxP patch lookup is two cheap one-hot contractions
+# whose cost scales with P^2. The patch only has to cover the foot's reach
+# from its previous-step site: max |hull vert - site| is 6.8 cm on the duck
+# (+<~3 cm drift/push per control step) vs a 7.8 cm hfield cell, so with the
+# margins below (>=2 cells each side) P=8 is sufficient — and 4x cheaper in
+# the kernel than the earlier 16x16 scheme.
+HFIELD_P = 8  # kernel-visible patch size (cells per side)
+HFIELD_WIN = 2  # tile-table alignment window (cells); decoupled from P
+HFIELD_KOFF = 2  # patch-center left offset (cells): min left margin
+# Margins with (P, WIN, KOFF) = (8, 2, 2): the foot-center column lands
+# KOFF..KOFF+WIN-1 = 2..3 cells into the patch, so the guaranteed margin is
+# >=2 cells (15.7 cm) on the left and >=P-2-(KOFF+WIN-1) = 3 cells (23.5 cm)
+# on the right (bilinear reads cell i+1, hence the extra -1).
 INTERPRET = False  # set True to run the kernel in interpreter mode (CPU tests)
 DEBUG = False  # adds solver-internal debug outputs (validation only)
+
+
+def _vmem_limit_bytes() -> int:
+    """Per-core VMEM budget for the megakernel's compiler hint.
+
+    110 MiB is the validated setting for the 128 MiB-VMEM chips this has run
+    on (v5e; v4/v5p/v6e share the size). Unknown / older kinds fall back to a
+    conservative 64 MiB; ODPT_VMEM_LIMIT_MB overrides both.
+    """
+    ov = os.environ.get("ODPT_VMEM_LIMIT_MB")
+    if ov:
+        return int(ov) * 1024 * 1024
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ""
+    if any(g in kind for g in ("v4", "v5", "v6", "trillium")):
+        return 110 * 1024 * 1024
+    return 64 * 1024 * 1024
 
 
 # ---------------------------------------------------------------- lane math
@@ -235,16 +266,47 @@ def _build_kernel(m: Model, n_substeps: int):
         dyh = 2.0 * float(hsz[1]) / (nrow_h - 1)
         # one site per foot body gives the patch center (previous-step pose)
         foot_site = []
-        for gid in s.collide_geom_ids:
+        reach = 0.0  # max |hull vert - site| (orientation-free 3D bound)
+        for fi2, gid in enumerate(s.collide_geom_ids):
             b = s.geom_bodyid[gid]
             sites = [i for i, sb in enumerate(s.site_bodyid) if sb == b]
             assert sites, f"foot body {b} needs a site for hfield patches"
             foot_site.append(sites[0])
-        # Patches are served from a precomputed table of 8-aligned 16x16
-        # tiles via a row-gather (jnp.take of contiguous 1KB rows) — a
-        # vmapped per-env dynamic_slice gather costs ~10 ms/step on TPU
+            hull_b = np.asarray(m.foot_hull)[fi2]  # (hull_nvert, 3)
+            gq = np.asarray(m.geom_quat[gid], np.float64)
+            w_, x_, y_, z_ = gq
+            Rg = np.array(
+                [
+                    [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x_ * y_ - w_ * z_),
+                     2 * (x_ * z_ + w_ * y_)],
+                    [2 * (x_ * y_ + w_ * z_), 1 - 2 * (x_ * x_ + z_ * z_),
+                     2 * (y_ * z_ - w_ * x_)],
+                    [2 * (x_ * z_ - w_ * y_), 2 * (y_ * z_ + w_ * x_),
+                     1 - 2 * (x_ * x_ + y_ * y_)],
+                ]
+            )
+            vb = hull_b @ Rg.T + np.asarray(m.geom_pos[gid], np.float64)
+            sp = np.asarray(m.site_pos[foot_site[-1]], np.float64)
+            reach = max(reach, float(np.linalg.norm(vb - sp, axis=1).max()))
+        # safety: the foot's full reach from its previous-step site (hull
+        # radius + one control step of drift/push) must fit inside the
+        # guaranteed patch margins, else vertex heights would silently clamp
+        drift_allowance = 0.04  # m per control step (pushes kick <=1 m/s)
+        min_margin_cells = min(
+            HFIELD_KOFF,  # left/below
+            HFIELD_P - 2 - (HFIELD_KOFF + HFIELD_WIN - 1),  # right/above
+        )
+        min_margin = min_margin_cells * min(dxh, dyh)
+        assert reach + drift_allowance <= min_margin, (
+            f"hfield patch margins too small: foot reach {reach:.3f}m "
+            f"+ drift {drift_allowance}m > margin {min_margin:.3f}m — "
+            f"raise HFIELD_P or HFIELD_KOFF"
+        )
+        # Patches are served from a precomputed table of WIN-aligned PxP
+        # tiles via a row-gather (jnp.take of contiguous rows) — a vmapped
+        # per-env dynamic_slice gather costs ~10 ms/step on TPU
         # (element-wise scalar-core gather), the tile row-gather ~0.2 ms.
-        tiled = nrow_h >= 2 * HFIELD_PATCH and ncol_h >= 2 * HFIELD_PATCH
+        tiled = nrow_h >= HFIELD_P and ncol_h >= HFIELD_P
         hf = dict(
             x0w=float(fp[0] - hsz[0]),  # world x of grid column 0
             y0w=float(fp[1] - hsz[1]),
@@ -254,8 +316,9 @@ def _build_kernel(m: Model, n_substeps: int):
             dyh=dyh,
             ncol=ncol_h,
             nrow=nrow_h,
-            P=(2 * HFIELD_PATCH) if tiled else HFIELD_PATCH,
-            win=HFIELD_PATCH,
+            P=HFIELD_P,
+            win=HFIELD_WIN,
+            koff=HFIELD_KOFF,
             tiled=tiled,
             foot_site=tuple(foot_site),
         )
@@ -591,14 +654,18 @@ def _build_kernel(m: Model, n_substeps: int):
             vang, vlin = cvel[:, :3, :], cvel[:, 3:, :]
             ia_top, ia_bot = ib_apply(acc_all[:, :3, :], acc_all[:, 3:, :])
             ftor, flin = ib_apply(vang, vlin)
-            fxf = jnp.concatenate(
-                [lcross(vang, ftor) + lcross(vlin, flin), lcross(vang, flin)],
-                axis=1,
+            # torque/force halves kept separate end-to-end (two (nbody,3,T)
+            # mask_dots instead of one (nbody,6,T)): same MXU FLOPs, no
+            # 6-row concat copies through VMEM
+            f_top = ia_top + lcross(vang, ftor) + lcross(vlin, flin)
+            f_bot = ia_bot + lcross(vang, flin)
+            fsub_top = mask_dot(C["desc_mask"], f_top)  # subtree sums
+            fsub_bot = mask_dot(C["desc_mask"], f_bot)
+            fdof_top = jnp.stack([fsub_top[dofbody[i]] for i in range(nv)], 0)
+            fdof_bot = jnp.stack([fsub_bot[dofbody[i]] for i in range(nv)], 0)
+            qfrc_bias = jnp.sum(dw * fdof_top, axis=1) + jnp.sum(
+                dv * fdof_bot, axis=1
             )
-            f_all = jnp.concatenate([ia_top, ia_bot], axis=1) + fxf
-            fsub = mask_dot(C["desc_mask"], f_all)  # subtree sums
-            fdof = jnp.stack([fsub[dofbody[i]] for i in range(nv)], axis=0)
-            qfrc_bias = jnp.sum(cdof * fdof, axis=1)
 
             # ----- mass matrix via CRBA: composite (subtree) inertias from a
             # descendant-mask reduction (one MXU matmul over bodies), then
@@ -626,8 +693,16 @@ def _build_kernel(m: Model, n_substeps: int):
                 jnp.sum(tr_dof * cdw[:, :, None, :], axis=1)
                 + ms_dof[:, None, :] * cdv
             )
-            fC = jnp.concatenate([fC_top, fC_bot], axis=1)  # (nv,6,T)
-            mdiag = jnp.sum(fC * cdof, axis=1)  # (nv,T)
+            # fC stays in (torque, force) halves — the k-indexed accumulations
+            # below address the halves directly, so the (nv,6,T) concat copy
+            # never exists
+            def fC_k(k):
+                return fC_top[:, k, :] if k < 3 else fC_bot[:, k - 3, :]
+
+            def cdof_k(k):
+                return dw[:, k, :] if k < 3 else dv[:, k - 3, :]
+
+            mdiag = sum(fC_k(k) * cdof_k(k) for k in range(6))  # (nv,T)
             if USE_BLOCK:
                 # assemble M directly in block-arrow form: the only nonzero
                 # blocks are the chain diagonal blocks, the chain-root
@@ -635,11 +710,11 @@ def _build_kernel(m: Model, n_substeps: int):
                 eyeb = C["eye_nv1"]
 
                 def crba_diag_block(a_, e_):
-                    W = fC[a_:e_, 0, :][:, None, :] * cdof[a_:e_, 0, :][None, :, :]
+                    W = fC_k(0)[a_:e_][:, None, :] * cdof_k(0)[a_:e_][None, :, :]
                     for k in range(1, 6):
                         W = W + (
-                            fC[a_:e_, k, :][:, None, :]
-                            * cdof[a_:e_, k, :][None, :, :]
+                            fC_k(k)[a_:e_][:, None, :]
+                            * cdof_k(k)[a_:e_][None, :, :]
                         )
                     Wl = C["dofpair1"][a_:e_, a_:e_] * W
                     return (
@@ -653,13 +728,13 @@ def _build_kernel(m: Model, n_substeps: int):
                     # chain dofs are strict descendants of every root dof:
                     # M[i, f] = (IC[body(i)] cdof_i) · cdof_f, full block
                     P = (
-                        fC[a_:e_, 0, :][:, None, :]
-                        * cdof[FB[0] : FB[1], 0, :][None, :, :]
+                        fC_k(0)[a_:e_][:, None, :]
+                        * cdof_k(0)[FB[0] : FB[1]][None, :, :]
                     )
                     for k in range(1, 6):
                         P = P + (
-                            fC[a_:e_, k, :][:, None, :]
-                            * cdof[FB[0] : FB[1], k, :][None, :, :]
+                            fC_k(k)[a_:e_][:, None, :]
+                            * cdof_k(k)[FB[0] : FB[1]][None, :, :]
                         )
                     return P
 
@@ -669,9 +744,9 @@ def _build_kernel(m: Model, n_substeps: int):
                     crba_diag_block(FB[0], FB[1]),
                 )
             else:
-                Mlow = fC[:, 0, :][:, None, :] * cdof[:, 0, :][None, :, :]
+                Mlow = fC_k(0)[:, None, :] * cdof_k(0)[None, :, :]
                 for k in range(1, 6):
-                    Mlow = Mlow + fC[:, k, :][:, None, :] * cdof[:, k, :][None, :, :]
+                    Mlow = Mlow + fC_k(k)[:, None, :] * cdof_k(k)[None, :, :]
                 Mlow = C["dofpair1"] * Mlow
                 M = (
                     M
@@ -1433,12 +1508,13 @@ def megakernel_step_batched(m: Model, d: Data, ctrl: jnp.ndarray,
         centers = d.site_xpos[:, list(hf["foot_site"]), :2]  # (B,nfoot,2)
         gx = (centers[..., 0] - hf["x0w"]) / hf["dxh"]
         gy = (centers[..., 1] - hf["y0w"]) / hf["dyh"]
-        i0 = jnp.clip(
-            jnp.floor(gx).astype(jnp.int32) - WIN // 2 + 1, 0, hf["ncol"] - WIN
-        )
-        j0 = jnp.clip(
-            jnp.floor(gy).astype(jnp.int32) - WIN // 2 + 1, 0, hf["nrow"] - WIN
-        )
+        # patch origin: KOFF cells left/below the foot-center cell (see the
+        # margin analysis at HFIELD_P). Tiled path snaps to the WIN grid;
+        # non-tiled dynamic_slice clamps to a full in-bounds PxP window.
+        hi = (hf["ncol"] - WIN) if hf["tiled"] else (hf["ncol"] - P)
+        hj = (hf["nrow"] - WIN) if hf["tiled"] else (hf["nrow"] - P)
+        i0 = jnp.clip(jnp.floor(gx).astype(jnp.int32) - hf["koff"], 0, hi)
+        j0 = jnp.clip(jnp.floor(gy).astype(jnp.int32) - hf["koff"], 0, hj)
         if hf["tiled"]:
             # row-gather of WIN-aligned PxP tiles from a precomputed flat
             # table — per-env dynamic_slice gathers are ~50x slower on TPU
@@ -1507,7 +1583,7 @@ def megakernel_step_batched(m: Model, d: Data, ctrl: jnp.ndarray,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit_bytes(),
         ),
         interpret=INTERPRET,
     )(*lane_inputs, *const_inputs)

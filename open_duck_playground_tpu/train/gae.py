@@ -16,6 +16,7 @@ def compute_gae(
     bootstrap_value: jnp.ndarray,  # (B,)
     lambda_: float = 0.95,
     discount: float = 0.99,
+    unroll: int = 1,
 ):
     truncation_mask = 1 - truncation
     values_t1 = jnp.concatenate([values[1:], bootstrap_value[None]], axis=0)
@@ -32,6 +33,7 @@ def compute_gae(
         jnp.zeros_like(bootstrap_value),
         (deltas, truncation_mask, termination),
         reverse=True,
+        unroll=unroll,
     )
     vs = vs_minus_v + values
     vs_t1 = jnp.concatenate([vs[1:], bootstrap_value[None]], axis=0)

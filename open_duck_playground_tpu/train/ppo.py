@@ -161,13 +161,18 @@ def train(
 
     # ------------------------------------------------------------- rollout
     def policy_step(carry, _, params, normalizer):
-        env_state, key = carry
+        env_state, key, moments = carry
         key, akey = jax.random.split(key)
         norm_obs = RS.normalize(normalizer, env_state.obs)
         logits = net.policy_logits(params, norm_obs)
         raw = N.sample_raw(akey, logits)
         action = N.postprocess(raw)
         nstate = train_env.step(env_state, action)
+        if normalize_observations:
+            # fuse the normalizer's moment accumulation into the rollout pass
+            # (the obs are in registers here; a separate RS.update would
+            # re-read the whole (T, B, obs) block from HBM after the rollout)
+            moments = RS.accumulate_moments(normalizer, moments, env_state.obs)
         transition = {
             "obs": env_state.obs,
             "raw_action": raw,
@@ -176,27 +181,28 @@ def train(
             "done": nstate.done,
             "truncation": nstate.info["truncation"],
         }
-        return (nstate, key), transition
+        return (nstate, key, moments), transition
 
     def generate_unroll(env_state, key, params, normalizer):
-        (env_state, _), data = jax.lax.scan(
+        (env_state, _, moments), data = jax.lax.scan(
             functools.partial(policy_step, params=params, normalizer=normalizer),
-            (env_state, key),
+            (env_state, key, RS.zero_moments(normalizer)),
             None,
             length=unroll_length,
         )
         # Only the final frame's obs is needed for the GAE bootstrap value —
         # carrying per-step next_obs would double the rollout's HBM writes
         # and the per-epoch shuffle traffic for data the loss never reads.
-        return env_state, data, env_state.obs  # data leaves: (T, num_envs, ...)
+        return env_state, data, env_state.obs, moments  # data: (T, num_envs, ...)
 
     # ---------------------------------------------------------------- loss
     def loss_fn(params, normalizer, batch, ent_key):
-        """batch = (data, final_obs): data leaves (B, T, ...), final_obs
-        leaves (B, ...) — the post-unroll obs for the bootstrap value."""
+        """batch = (data, final_obs): data leaves time-major (T, MB, ...)
+        straight from the rollout layout, final_obs leaves (MB, ...) — the
+        post-unroll obs for the bootstrap value. Keeping the minibatch
+        time-major means neither the shuffle nor the loss ever transposes
+        the rollout payload (see one_epoch)."""
         data, final_obs = batch
-        # move time first: (T, B, ...)
-        data = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), data)
         norm_obs = RS.normalize(normalizer, data["obs"])
         logits = net.policy_logits(params, norm_obs)
         baseline = net.value(params, norm_obs)
@@ -218,6 +224,9 @@ def train(
             bootstrap_value=bootstrap,
             lambda_=gae_lambda,
             discount=discounting,
+            # T is short (unroll_length); full unroll removes the scan's
+            # per-step dispatch from the 128 loss calls per training step
+            unroll=unroll_length,
         )
         if normalize_advantage:
             advantages = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
@@ -275,35 +284,50 @@ def train(
 
     def training_step(training_state: TrainingState, env_state, key):
         key, unroll_key, sgd_key = jax.random.split(key, 3)
-        env_state, data, final_obs = generate_unroll(
+        env_state, data, final_obs, moments = generate_unroll(
             env_state, unroll_key, training_state.params, training_state.normalizer
         )
         # data leaves: (T, num_envs, ...); final_obs leaves: (num_envs, ...)
 
         if normalize_observations:
-            normalizer = RS.update(training_state.normalizer, data["obs"])
+            batch = jnp.asarray(num_envs * unroll_length, jnp.float32)
+            normalizer = RS.merge_moments(
+                training_state.normalizer, batch, *moments
+            )
         else:
             normalizer = training_state.normalizer
+
+        mb_size = num_envs // num_minibatches
 
         def one_epoch(carry, _):
             params, opt_state, key = carry
             key, perm_key = jax.random.split(key)
+            # Transpose-free shuffle: permute *indices* only, then gather
+            # each minibatch's envs straight out of the time-major rollout
+            # data inside the minibatch scan. The rollout payload is read
+            # exactly once per epoch and never transposed or materialized
+            # in permuted form (the old swapaxes→permutation→reshape path
+            # moved the full (T, B, obs) block through HBM three times).
+            # Minibatch contents are bitwise-identical to that path:
+            # jax.random.permutation(k, x) == x[jax.random.permutation(k, n)].
+            perm = jax.random.permutation(perm_key, num_envs)
 
-            def shuffle(x):
-                x = jnp.swapaxes(x, 0, 1)  # (num_envs, T, ...)
-                x = jax.random.permutation(perm_key, x, axis=0)
-                return x.reshape((num_minibatches, -1) + x.shape[1:])
+            def gather_step(carry, idx):
+                mb_envs = jax.lax.dynamic_slice_in_dim(
+                    perm, idx * mb_size, mb_size
+                )
+                batch = (
+                    jax.tree.map(lambda x: jnp.take(x, mb_envs, axis=1), data),
+                    jax.tree.map(
+                        lambda x: jnp.take(x, mb_envs, axis=0), final_obs
+                    ),
+                )
+                return minibatch_step(carry, batch)
 
-            def shuffle_final(x):  # (num_envs, ...): same env permutation
-                x = jax.random.permutation(perm_key, x, axis=0)
-                return x.reshape((num_minibatches, -1) + x.shape[1:])
-
-            shuffled = (
-                jax.tree.map(shuffle, data),
-                jax.tree.map(shuffle_final, final_obs),
-            )
             (params, opt_state, _, key), metrics = jax.lax.scan(
-                minibatch_step, (params, opt_state, normalizer, key), shuffled
+                gather_step,
+                (params, opt_state, normalizer, key),
+                jnp.arange(num_minibatches),
             )
             return (params, opt_state, key), metrics
 

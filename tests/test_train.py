@@ -42,6 +42,67 @@ def test_running_stats():
     )
 
 
+def test_running_stats_merge_moments_matches_update():
+    """The rollout-fused accumulation path (accumulate_moments over scan
+    steps + one merge_moments) must match a direct RS.update on the whole
+    (T, B, F) batch — the trainer relies on this equivalence (ppo.py)."""
+    rng = np.random.default_rng(1)
+    stats = RS.init({"a": 4, "b": 2})
+    # pre-condition the stats so mean/summed_var are nontrivial
+    warm = {
+        "a": jnp.asarray(rng.normal(1.0, 2.0, (32, 4)), jnp.float32),
+        "b": jnp.asarray(rng.normal(-3.0, 0.5, (32, 2)), jnp.float32),
+    }
+    stats = RS.update(stats, warm)
+
+    T, B = 7, 16
+    batch = {
+        "a": jnp.asarray(rng.normal(1.5, 2.5, (T, B, 4)), jnp.float32),
+        "b": jnp.asarray(rng.normal(-2.0, 1.0, (T, B, 2)), jnp.float32),
+    }
+    direct = RS.update(stats, batch)
+
+    moments = RS.zero_moments(stats)
+    for t in range(T):
+        moments = RS.accumulate_moments(
+            stats, moments, {k: v[t] for k, v in batch.items()}
+        )
+    fused = RS.merge_moments(stats, jnp.asarray(T * B, jnp.float32), *moments)
+
+    for k in ("a", "b"):
+        np.testing.assert_allclose(
+            np.asarray(fused.mean[k]), np.asarray(direct.mean[k]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.std[k]), np.asarray(direct.std[k]), rtol=1e-5
+        )
+    np.testing.assert_allclose(float(fused.count), float(direct.count))
+
+
+def test_transpose_free_minibatching_matches_reference_shuffle():
+    """The trainer's epoch (ppo.py one_epoch) gathers each minibatch's envs
+    straight out of the time-major rollout data via an index permutation.
+    Pin its contents to the reference formulation (brax-style: env-major
+    swapaxes -> jax.random.permutation over envs -> reshape into
+    minibatches), which the old epoch implemented literally."""
+    T, B, F, nmb = 3, 8, 5, 4
+    mb = B // nmb
+    x = jnp.arange(T * B * F, dtype=jnp.float32).reshape(T, B, F)
+    perm_key = jax.random.PRNGKey(3)
+
+    ref = jnp.swapaxes(x, 0, 1)  # (B, T, F)
+    ref = jax.random.permutation(perm_key, ref, axis=0)
+    ref = ref.reshape(nmb, mb, T, F)
+
+    perm = jax.random.permutation(perm_key, B)
+    for i in range(nmb):
+        mb_envs = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
+        got = jnp.take(x, mb_envs, axis=1)  # (T, mb, F) time-major
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(jnp.swapaxes(ref[i], 0, 1))
+        )
+
+
 def test_gae_no_done_matches_discounted_return():
     T, B = 5, 2
     rewards = jnp.ones((T, B))
