@@ -414,6 +414,11 @@ def train(
         functools.partial(training_epoch, num_steps=chunk_steps),
         in_shardings=(replicated, data_sharding, replicated),
         out_shardings=(replicated, data_sharding, replicated, replicated),
+        # state flows epoch->epoch and the caller rebinds all three args to
+        # the outputs, so XLA may reuse the buffers in place — env_state at
+        # production scale is hundreds of MB of HBM that would otherwise be
+        # double-allocated across the call boundary
+        donate_argnums=(0, 1, 2),
     )
 
     rng, reset_rng, epoch_key = jax.random.split(rng, 3)

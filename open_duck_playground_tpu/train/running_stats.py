@@ -21,10 +21,15 @@ class RunningStats:
 
 
 def init(obs_sizes: Dict[str, int], dtype=jnp.float32) -> RunningStats:
-    zeros = {k: jnp.zeros(v, dtype) for k, v in obs_sizes.items()}
+    # mean and summed_var must be *distinct* device buffers (not one shared
+    # dict of arrays): the trainer donates the state pytree to its epoch jit,
+    # and XLA rejects the same buffer appearing twice among donated args
+    def zeros():
+        return {k: jnp.zeros(v, dtype) for k, v in obs_sizes.items()}
+
     ones = {k: jnp.ones(v, dtype) for k, v in obs_sizes.items()}
     return RunningStats(
-        count=jnp.zeros((), dtype), mean=zeros, summed_var=dict(zeros), std=ones
+        count=jnp.zeros((), dtype), mean=zeros(), summed_var=zeros(), std=ones
     )
 
 
