@@ -57,6 +57,11 @@ HFIELD_KOFF = 2  # patch-center left offset (cells): min left margin
 # on the right (bilinear reads cell i+1, hence the extra -1).
 INTERPRET = False  # set True to run the kernel in interpreter mode (CPU tests)
 DEBUG = False  # adds solver-internal debug outputs (validation only)
+# Level-packed FK/site transforms: batch the per-body quaternion walk over
+# each kinematic-tree level so component math runs on (nb,T) tiles instead of
+# nb separate (1,T) ops (VPU issue slots are the scarce resource; a (3,128)
+# op costs the same instruction as a (1,128) op). Flag for A/B benching.
+PACK_FK = True
 
 
 def _vmem_limit_bytes() -> int:
@@ -182,6 +187,105 @@ def lquat_to_mat(q):
             jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], 0),
         ],
         axis=0,
+    )
+
+
+def blquat_mul_constq(a, bq_np, bq_j):
+    """Batched (nb,4,T) quats multiplied by per-row CONSTANT quats.
+
+    `bq_np` (nb,4 numpy) drives column-wise trace-time specialization
+    (all-zero columns emit no ops, all-one columns skip the multiply, an
+    all-identity table returns `a`); `bq_j` is the same table as a kernel
+    input ref slice (Pallas kernels cannot capture constant arrays)."""
+    bq_np = np.asarray(bq_np, np.float64)
+    if np.allclose(bq_np, np.array([1.0, 0.0, 0.0, 0.0])):
+        return a
+    aw, ax, ay, az = a[:, 0, :], a[:, 1, :], a[:, 2, :], a[:, 3, :]
+
+    def lin(*terms):
+        out = None
+        for c, sign, v in terms:
+            npcol = sign * bq_np[:, c]
+            if np.all(np.abs(npcol) < 1e-12):
+                continue
+            if np.all(np.abs(npcol - 1.0) < 1e-12):
+                t = v
+            else:
+                jc = bq_j[:, c : c + 1]
+                t = (jc if sign > 0 else -jc) * v
+            out = t if out is None else out + t
+        return out if out is not None else 0.0 * aw
+
+    return jnp.stack(
+        [
+            lin((0, 1, aw), (1, -1, ax), (2, -1, ay), (3, -1, az)),
+            lin((1, 1, aw), (0, 1, ax), (3, 1, ay), (2, -1, az)),
+            lin((2, 1, aw), (3, -1, ax), (0, 1, ay), (1, 1, az)),
+            lin((3, 1, aw), (2, 1, ax), (1, -1, ay), (0, 1, az)),
+        ],
+        axis=1,
+    )
+
+
+def blquat_rotate_constv(q, v_np, v_j):
+    """Rotate per-row CONSTANT 3-vectors by batched quats q (nb,4,T).
+
+    `v_np` (nb,3 numpy) drives specialization, `v_j` is the kernel-input
+    ref slice with the same values. Returns None when every row is zero."""
+    v_np = np.asarray(v_np, np.float64)
+    if np.all(np.abs(v_np) < 1e-12):
+        return None
+    u = q[:, 1:, :]  # (nb,3,T)
+    u0, u1, u2 = u[:, 0, :], u[:, 1, :], u[:, 2, :]
+
+    def term(c, sign, vec):
+        npcol = sign * v_np[:, c]
+        if np.all(np.abs(npcol) < 1e-12):
+            return None
+        if np.all(np.abs(npcol - 1.0) < 1e-12):
+            return vec
+        jc = v_j[:, c : c + 1]
+        return (jc if sign > 0 else -jc) * vec
+
+    def lin(t1, t2):
+        a_, b_ = term(*t1), term(*t2)
+        if a_ is None and b_ is None:
+            return 0.0 * u0
+        if a_ is None:
+            return b_
+        if b_ is None:
+            return a_
+        return a_ + b_
+
+    uv = jnp.stack(
+        [
+            lin((2, 1, u1), (1, -1, u2)),
+            lin((0, 1, u2), (2, -1, u0)),
+            lin((1, 1, u0), (0, -1, u1)),
+        ],
+        axis=1,
+    )
+    uuv = lcross(u, uv)
+    base = v_j[:, :, None] + 0.0 * q[:, :1, :]
+    return base + 2.0 * (q[:, :1, :] * uv + uuv)
+
+
+def blquat_to_mat(q):
+    """(nb,4,T) -> (nb,3,3,T); batched-row lquat_to_mat."""
+    w, x, y, z = q[:, 0, :], q[:, 1, :], q[:, 2, :], q[:, 3, :]
+    return jnp.stack(
+        [
+            jnp.stack(
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], 1
+            ),
+            jnp.stack(
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], 1
+            ),
+            jnp.stack(
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], 1
+            ),
+        ],
+        axis=1,
     )
 
 
@@ -376,6 +480,33 @@ def _build_kernel(m: Model, n_substeps: int):
     levels = structure.tree_levels(s)
     iterations, ls_iterations = s.iterations, s.ls_iterations
 
+    # FK level packing eligibility: a level batches when it has >=2 bodies
+    # whose joints are all hinges anchored at their body origin (jnt_pos==0,
+    # true of every duck joint) — the free-joint root and single-body levels
+    # keep the per-body specialized path.
+    def _level_packable(level) -> bool:
+        bodies = [int(b) for b in level]
+        if len(bodies) < 2:
+            return False
+        for b in bodies:
+            for j in range(s.body_jntadr[b], s.body_jntadr[b] + s.body_jntnum[b]):
+                if s.jnt_type[j] != HINGE:
+                    return False
+                if not np.allclose(np.asarray(m.jnt_pos[j]), 0.0):
+                    return False
+        return True
+
+    fk_pack = [PACK_FK and _level_packable(level) for level in levels]
+    # cdof rows batch into one lcross when the dof layout is the standard
+    # free-root-then-contiguous-hinges arrangement
+    _hd = [int(s.jnt_dofadr[j]) for j in structure.hinge_joints(s)]
+    cdof_packed = (
+        PACK_FK
+        and structure.free_joint(s) >= 0
+        and int(s.jnt_dofadr[structure.free_joint(s)]) == 0
+        and _hd == list(range(6, 6 + len(_hd)))
+    )
+
     # Block-arrow partition of the dof space (root free joint + decoupled
     # serial chains): lets the two in-kernel factorizations run per-block
     # (zero fill-in — chains only couple through the root block) and the
@@ -437,7 +568,46 @@ def _build_kernel(m: Model, n_substeps: int):
         desc_mask=desc_np,
         dofpair1=dofpair_np.reshape(nv, nv, 1),
         body_inertia3=body_inertia.reshape(nbody, 1, 3, 1),
+        # desc_mask rows re-indexed per dof: (sel @ desc) folds the
+        # subtree-sum matmul and the dof->body gather-stack into ONE
+        # (nv,nbody) mask_dot (the per-body subtree intermediates were
+        # consumed only by that gather)
+        dofsub_mask=desc_np[dofbody, :],
     )
+
+    # Packed-FK constant tables (Pallas kernels cannot capture constant
+    # arrays, so the per-level batched frame constants enter as inputs;
+    # rows are laid out contiguously per level / per joint slot so the
+    # kernel reads them as static slices).
+    fk_off: dict = {}
+    fk_jav_off: dict = {}
+    if any(fk_pack):
+        bp_rows, bq_rows, jav_rows = [], [], []
+        for li, (level, packed) in enumerate(zip(levels, fk_pack)):
+            if not packed:
+                continue
+            idx = [int(b) for b in level]
+            fk_off[li] = len(bp_rows)
+            for b in idx:
+                bp_rows.append(np.asarray(body_pos_np[b], np.float64))
+                bq_rows.append(np.asarray(body_quat_np[b], np.float64))
+            nslot = max(int(s.body_jntnum[b]) for b in idx)
+            for slot in range(nslot):
+                fk_jav_off[(li, slot)] = len(jav_rows)
+                for b in idx:
+                    if s.body_jntnum[b] > slot:
+                        j = int(s.body_jntadr[b] + slot)
+                        jav_rows.append(np.asarray(jnt_axis_np[j], np.float64))
+                    else:
+                        jav_rows.append(np.zeros(3))
+        CONSTS["fk_bp"] = np.asarray(bp_rows, np.float32).reshape(-1, 3)
+        CONSTS["fk_bq"] = np.asarray(bq_rows, np.float32).reshape(-1, 4)
+        CONSTS["fk_jav"] = np.asarray(jav_rows, np.float32).reshape(-1, 3)
+    if PACK_FK:
+        CONSTS["biq_t"] = np.asarray(body_iquat_np, np.float32).reshape(nbody, 4)
+        if s.nsite >= 2:
+            CONSTS["site_pos_t"] = np.asarray(site_pos_np, np.float32).reshape(-1, 3)
+            CONSTS["site_quat_t"] = np.asarray(site_quat_np, np.float32).reshape(-1, 4)
     const_names = list(CONSTS.keys())
     const_values = [CONSTS[k] for k in const_names]
 
@@ -495,7 +665,58 @@ def _build_kernel(m: Model, n_substeps: int):
                 )
                 sh_all = jnp.sin(half_all)
                 ch_all = jnp.cos(half_all)
-            for level in levels:
+            for li, (level, packed) in enumerate(zip(levels, fk_pack)):
+                if packed:
+                    # batched level walk: one (nbL,·,T) op per math step for
+                    # the whole level instead of per-body (1,T) chains
+                    idx = [int(b) for b in level]
+                    nbL = len(idx)
+                    off = fk_off[li]
+                    bp_j = C["fk_bp"][off : off + nbL]
+                    bq_j = C["fk_bq"][off : off + nbL]
+                    P = jnp.stack([xquat[s.body_parentid[b]] for b in idx], 0)
+                    XP = jnp.stack([xpos[s.body_parentid[b]] for b in idx], 0)
+                    rr = blquat_rotate_constv(P, body_pos_np[idx], bp_j)
+                    pos = XP if rr is None else XP + rr
+                    quat = blquat_mul_constq(P, body_quat_np[idx], bq_j)
+                    nslot = max(int(s.body_jntnum[b]) for b in idx)
+                    for slot in range(nslot):
+                        javo = fk_jav_off[(li, slot)]
+                        jav_j = C["fk_jav"][javo : javo + nbL]
+                        jav = np.zeros((nbL, 3))
+                        sh_rows, ch_rows, present = [], [], []
+                        for i, b in enumerate(idx):
+                            if s.body_jntnum[b] > slot:
+                                j = int(s.body_jntadr[b] + slot)
+                                jav[i] = np.asarray(jnt_axis_np[j], np.float64)
+                                r = hrow[j]
+                                sh_rows.append(sh_all[r])
+                                ch_rows.append(ch_all[r])
+                                present.append((i, j))
+                            else:  # pad row: identity joint, quat unchanged
+                                sh_rows.append(zeroT)
+                                ch_rows.append(oneT)
+                        axw = blquat_rotate_constv(quat, jav, jav_j)
+                        sh = jnp.stack(sh_rows, 0)  # (nbL,T)
+                        ch = jnp.stack(ch_rows, 0)
+                        comps = [ch]
+                        for c in range(3):
+                            col = jav[:, c]
+                            if np.all(np.abs(col) < 1e-12):
+                                comps.append(0.0 * sh)
+                            elif np.all(np.abs(col - 1.0) < 1e-12):
+                                comps.append(sh)
+                            else:
+                                comps.append(jav_j[:, c : c + 1] * sh)
+                        jq = jnp.stack(comps, axis=1)  # (nbL,4,T)
+                        quat = lquat_mul(quat, jq)
+                        for i, j in present:
+                            xanchor[j] = pos[i]  # jnt_pos==0: anchor at body
+                            xaxis[j] = axw[i]
+                    for i, b in enumerate(idx):
+                        xpos[b] = pos[i]
+                        xquat[b] = quat[i]
+                    continue
                 for b in level:
                     p = s.body_parentid[b]
                     rr = lquat_rotate_constv(xquat[p], body_pos_np[b])
@@ -535,13 +756,25 @@ def _build_kernel(m: Model, n_substeps: int):
                     xpos[b] = pos
                     xquat[b] = quat
 
-            xipos = [
-                xpos[b] + lquat_rotate(xquat[b], body_ipos[b]) for b in range(nbody)
-            ]
-            ximat = [
-                lquat_to_mat(lquat_mul_constq(xquat[b], body_iquat_np[b]))
-                for b in range(nbody)
-            ]
+            if PACK_FK:
+                XQst = jnp.stack(xquat, 0)  # (nbody,4,T)
+                XPst = jnp.stack(xpos, 0)  # (nbody,3,T)
+                xipos_stk = XPst + lquat_rotate(XQst, body_ipos)
+                ximat_stk = blquat_to_mat(
+                    blquat_mul_constq(XQst, body_iquat_np, C["biq_t"])
+                )
+                xipos = [xipos_stk[b] for b in range(nbody)]
+                ximat = [ximat_stk[b] for b in range(nbody)]
+            else:
+                xipos_stk = ximat_stk = None
+                xipos = [
+                    xpos[b] + lquat_rotate(xquat[b], body_ipos[b])
+                    for b in range(nbody)
+                ]
+                ximat = [
+                    lquat_to_mat(lquat_mul_constq(xquat[b], body_iquat_np[b]))
+                    for b in range(nbody)
+                ]
 
             # ----- CoM + cdof
             total_mass = sum(body_mass[b] * float(in_tree[b]) for b in range(nbody))
@@ -553,27 +786,56 @@ def _build_kernel(m: Model, n_substeps: int):
                 * (1.0 / total_mass)[None, :]
             )
 
-            cdof_list: List = [None] * nv
-            for j in hinge_j:
-                d_ = s.jnt_dofadr[j]
-                lin = lcross(xaxis[j], com - xanchor[j])
-                cdof_list[d_] = jnp.concatenate([xaxis[j], lin], axis=0)
-            if free_j >= 0:
-                d_ = s.jnt_dofadr[free_j]
-                b = s.jnt_bodyid[free_j]
-                basis = [
-                    jnp.stack([oneT, zeroT, zeroT]),
-                    jnp.stack([zeroT, oneT, zeroT]),
-                    jnp.stack([zeroT, zeroT, oneT]),
-                ]
-                for i in range(3):
-                    cdof_list[d_ + i] = jnp.concatenate([zero3, basis[i]], axis=0)
-                rb = lquat_to_mat(xquat[b])
-                for i in range(3):
-                    axis = rb[:, i, :]
-                    lin = lcross(axis, com - xanchor[free_j])
-                    cdof_list[d_ + 3 + i] = jnp.concatenate([axis, lin], axis=0)
-            cdof = jnp.stack(cdof_list, axis=0)  # (nv,6,T)
+            if cdof_packed:
+                # all rotational dof rows (free-joint world axes + every
+                # hinge) share one batched cross product; translation rows
+                # are the constant basis
+                rb = lquat_to_mat(xquat[s.jnt_bodyid[free_j]])
+                AX = jnp.stack(
+                    [rb[:, 0, :], rb[:, 1, :], rb[:, 2, :]]
+                    + [xaxis[j] for j in hinge_j],
+                    0,
+                )  # (3+nh,3,T)
+                AN = jnp.stack(
+                    [xanchor[free_j]] * 3 + [xanchor[j] for j in hinge_j], 0
+                )
+                LIN = lcross(AX, com[None] - AN)
+                rot_rows = jnp.concatenate([AX, LIN], axis=1)  # (3+nh,6,T)
+                trans_rows = jnp.stack(
+                    [
+                        jnp.stack([zeroT, zeroT, zeroT, oneT, zeroT, zeroT], 0),
+                        jnp.stack([zeroT, zeroT, zeroT, zeroT, oneT, zeroT], 0),
+                        jnp.stack([zeroT, zeroT, zeroT, zeroT, zeroT, oneT], 0),
+                    ],
+                    0,
+                )
+                cdof = jnp.concatenate([trans_rows, rot_rows], axis=0)  # (nv,6,T)
+            else:
+                cdof_list: List = [None] * nv
+                for j in hinge_j:
+                    d_ = s.jnt_dofadr[j]
+                    lin = lcross(xaxis[j], com - xanchor[j])
+                    cdof_list[d_] = jnp.concatenate([xaxis[j], lin], axis=0)
+                if free_j >= 0:
+                    d_ = s.jnt_dofadr[free_j]
+                    b = s.jnt_bodyid[free_j]
+                    basis = [
+                        jnp.stack([oneT, zeroT, zeroT]),
+                        jnp.stack([zeroT, oneT, zeroT]),
+                        jnp.stack([zeroT, zeroT, oneT]),
+                    ]
+                    for i in range(3):
+                        cdof_list[d_ + i] = jnp.concatenate(
+                            [zero3, basis[i]], axis=0
+                        )
+                    rb = lquat_to_mat(xquat[b])
+                    for i in range(3):
+                        axis = rb[:, i, :]
+                        lin = lcross(axis, com - xanchor[free_j])
+                        cdof_list[d_ + 3 + i] = jnp.concatenate(
+                            [axis, lin], axis=0
+                        )
+                cdof = jnp.stack(cdof_list, axis=0)  # (nv,6,T)
 
             # ----- velocities
             vdof = cdof * qvel[:, None, :]
@@ -606,8 +868,8 @@ def _build_kernel(m: Model, n_substeps: int):
 
             # spatial body inertias, batched over all bodies at once (the
             # world body's zero mass/inertia makes its row identically zero)
-            xipos_st = jnp.stack(xipos, axis=0)  # (nbody,3,T)
-            ximat_st = jnp.stack(ximat, axis=0)  # (nbody,3,3,T)
+            xipos_st = xipos_stk if PACK_FK else jnp.stack(xipos, 0)  # (nbody,3,T)
+            ximat_st = ximat_stk if PACK_FK else jnp.stack(ximat, 0)  # (nbody,3,3,T)
             RI = ximat_st * C["body_inertia3"]  # R[b,i,k] * I[b,k]
             ricr = sum(
                 RI[:, :, k, :][:, :, None, :] * ximat_st[:, :, k, :][:, None, :, :]
@@ -659,10 +921,10 @@ def _build_kernel(m: Model, n_substeps: int):
             # 6-row concat copies through VMEM
             f_top = ia_top + lcross(vang, ftor) + lcross(vlin, flin)
             f_bot = ia_bot + lcross(vang, flin)
-            fsub_top = mask_dot(C["desc_mask"], f_top)  # subtree sums
-            fsub_bot = mask_dot(C["desc_mask"], f_bot)
-            fdof_top = jnp.stack([fsub_top[dofbody[i]] for i in range(nv)], 0)
-            fdof_bot = jnp.stack([fsub_bot[dofbody[i]] for i in range(nv)], 0)
+            # subtree sums land directly on dof rows: one (nv,nbody) mask
+            # matmul instead of a (nbody,nbody) matmul + nv-row gather-stack
+            fdof_top = mask_dot(C["dofsub_mask"], f_top)
+            fdof_bot = mask_dot(C["dofsub_mask"], f_bot)
             qfrc_bias = jnp.sum(dw * fdof_top, axis=1) + jnp.sum(
                 dv * fdof_bot, axis=1
             )
@@ -674,16 +936,13 @@ def _build_kernel(m: Model, n_substeps: int):
             # J^T I J accumulation.
             # composite inertias per 3x3 block (lower-left = TR^T, lower-
             # right = subtree-mass diagonal — both free given TL/TR/msub)
-            IC_tl = mask_dot(
-                C["desc_mask"], ib_tl.reshape(nbody, 9, T)
-            ).reshape(nbody, 3, 3, T)
-            IC_tr = mask_dot(
-                C["desc_mask"], ib_tr.reshape(nbody, 9, T)
-            ).reshape(nbody, 3, 3, T)
-            msub = mask_dot(C["desc_mask"], body_mass[:, None, :])[:, 0, :]
-            tl_dof = jnp.stack([IC_tl[dofbody[i]] for i in range(nv)], axis=0)
-            tr_dof = jnp.stack([IC_tr[dofbody[i]] for i in range(nv)], axis=0)
-            ms_dof = jnp.stack([msub[dofbody[i]] for i in range(nv)], axis=0)
+            tl_dof = mask_dot(
+                C["dofsub_mask"], ib_tl.reshape(nbody, 9, T)
+            ).reshape(nv, 3, 3, T)
+            tr_dof = mask_dot(
+                C["dofsub_mask"], ib_tr.reshape(nbody, 9, T)
+            ).reshape(nv, 3, 3, T)
+            ms_dof = mask_dot(C["dofsub_mask"], body_mass[:, None, :])[:, 0, :]
             cdw = cdof[:, :3, :]
             cdv = cdof[:, 3:, :]
             fC_top = jnp.sum(tl_dof * cdw[:, None, :, :], axis=2) + jnp.sum(
@@ -1273,15 +1532,28 @@ def _build_kernel(m: Model, n_substeps: int):
             qacc = x
 
             # ----- sensors
-            site_xpos_l, site_xmat_l, site_xquat_l = [], [], []
-            for i in range(s.nsite):
-                b = s.site_bodyid[i]
-                rs = lquat_rotate_constv(xquat[b], site_pos_np[i])
-                sp = xpos[b] if rs is None else xpos[b] + rs
-                sq = lquat_mul_constq(xquat[b], site_quat_np[i])
-                site_xpos_l.append(sp)
-                site_xquat_l.append(sq)
-                site_xmat_l.append(lquat_to_mat(sq))
+            if PACK_FK and s.nsite >= 2:
+                SQ = jnp.stack([xquat[b] for b in s.site_bodyid], 0)
+                SP = jnp.stack([xpos[b] for b in s.site_bodyid], 0)
+                rs_b = blquat_rotate_constv(SQ, site_pos_np, C["site_pos_t"])
+                site_xpos_st = SP if rs_b is None else SP + rs_b
+                site_xquat_st = blquat_mul_constq(SQ, site_quat_np, C["site_quat_t"])
+                site_xmat_st = blquat_to_mat(site_xquat_st)
+                site_xpos_l = [site_xpos_st[i] for i in range(s.nsite)]
+                site_xmat_l = [site_xmat_st[i] for i in range(s.nsite)]
+                site_xquat_l = [site_xquat_st[i] for i in range(s.nsite)]
+            else:
+                site_xpos_l, site_xmat_l, site_xquat_l = [], [], []
+                for i in range(s.nsite):
+                    b = s.site_bodyid[i]
+                    rs = lquat_rotate_constv(xquat[b], site_pos_np[i])
+                    sp = xpos[b] if rs is None else xpos[b] + rs
+                    sq = lquat_mul_constq(xquat[b], site_quat_np[i])
+                    site_xpos_l.append(sp)
+                    site_xquat_l.append(sq)
+                    site_xmat_l.append(lquat_to_mat(sq))
+                site_xpos_st = jnp.stack(site_xpos_l, 0)
+                site_xmat_st = jnp.stack(site_xmat_l, 0)
 
             vdofacc = cdof_dot * qvel[:, None, :] + cdof * qacc[:, None, :]
             cacc = grav[None] + mask_dot(anc, vdofacc)
@@ -1327,8 +1599,8 @@ def _build_kernel(m: Model, n_substeps: int):
 
             out = dict(
                 qacc=qacc,
-                site_xpos=jnp.stack(site_xpos_l, 0),
-                site_xmat=jnp.stack(site_xmat_l, 0),
+                site_xpos=site_xpos_st,
+                site_xmat=site_xmat_st,
                 actuator_force=force,
                 contact_dist=contact_dist,
                 sensordata=sensordata,
