@@ -603,15 +603,31 @@ def _build_kernel(m: Model, n_substeps: int):
         CONSTS["fk_bp"] = np.asarray(bp_rows, np.float32).reshape(-1, 3)
         CONSTS["fk_bq"] = np.asarray(bq_rows, np.float32).reshape(-1, 4)
         CONSTS["fk_jav"] = np.asarray(jav_rows, np.float32).reshape(-1, 3)
+    in_tree = anc_np.any(axis=1).astype(np.float32)
     if PACK_FK:
         CONSTS["biq_t"] = np.asarray(body_iquat_np, np.float32).reshape(nbody, 4)
+        CONSTS["intree_col"] = in_tree.astype(np.float32).reshape(nbody, 1)
+        # actuation tables: per-dof damping, per-actuator ctrl/force ranges,
+        # and 0/1 selection/scatter matrices (one MXU dot replaces the
+        # per-row stack loops; 0/1 HIGHEST-precision selection is exact)
+        CONSTS["ndamp_col"] = (-dof_damping).astype(np.float32).reshape(nv, 1)
+        CONSTS["ctrl_lo"] = ctrlrange[:, 0].astype(np.float32).reshape(nu, 1)
+        CONSTS["ctrl_hi"] = ctrlrange[:, 1].astype(np.float32).reshape(nu, 1)
+        CONSTS["frc_lo"] = forcerange[:, 0].astype(np.float32).reshape(nu, 1)
+        CONSTS["frc_hi"] = forcerange[:, 1].astype(np.float32).reshape(nu, 1)
+        _len_sel = np.zeros((nu, s.nq), np.float32)
+        _vel_sel = np.zeros((nu, nv), np.float32)
+        for _i in range(nu):
+            _len_sel[_i, trn_q[_i]] = 1.0
+            _vel_sel[_i, trn_d[_i]] = 1.0
+        CONSTS["len_sel"] = _len_sel
+        CONSTS["vel_sel"] = _vel_sel
+        CONSTS["act_scatter"] = _vel_sel.T.copy()
         if s.nsite >= 2:
             CONSTS["site_pos_t"] = np.asarray(site_pos_np, np.float32).reshape(-1, 3)
             CONSTS["site_quat_t"] = np.asarray(site_quat_np, np.float32).reshape(-1, 4)
     const_names = list(CONSTS.keys())
     const_values = [CONSTS[k] for k in const_names]
-
-    in_tree = anc_np.any(axis=1).astype(np.float32)
 
     def kernel(*refs):
         (qpos_ref, qvel_ref, ctrl_ref, warm_ref, qpos0_ref, gain0_ref,
@@ -777,14 +793,23 @@ def _build_kernel(m: Model, n_substeps: int):
                 ]
 
             # ----- CoM + cdof
-            total_mass = sum(body_mass[b] * float(in_tree[b]) for b in range(nbody))
-            com = (
-                sum(
-                    body_mass[b][None, :] * float(in_tree[b]) * xipos[b]
-                    for b in range(nbody)
+            if PACK_FK:
+                bm_t = body_mass * C["intree_col"]  # (nbody,T)
+                total_mass = jnp.sum(bm_t, axis=0)
+                com = jnp.sum(bm_t[:, None, :] * xipos_stk, axis=0) * (
+                    1.0 / total_mass
+                )[None, :]
+            else:
+                total_mass = sum(
+                    body_mass[b] * float(in_tree[b]) for b in range(nbody)
                 )
-                * (1.0 / total_mass)[None, :]
-            )
+                com = (
+                    sum(
+                        body_mass[b][None, :] * float(in_tree[b]) * xipos[b]
+                        for b in range(nbody)
+                    )
+                    * (1.0 / total_mass)[None, :]
+                )
 
             if cdof_packed:
                 # all rotational dof rows (free-joint world axes + every
@@ -1014,33 +1039,60 @@ def _build_kernel(m: Model, n_substeps: int):
                     - C["eye_nv1"] * mdiag[:, None, :]
                 )
 
-            # ----- passive + actuation
-            qfrc_passive = jnp.stack(
-                [-float(dof_damping[i]) * qvel[i] for i in range(nv)], 0
-            )
-            length = jnp.stack([qpos[i] for i in trn_q], axis=0)
-            velocity = jnp.stack([qvel[i] for i in trn_d], axis=0)
-            cl = jnp.stack(
-                [
-                    jnp.clip(ctrl[i], float(ctrlrange[i, 0]), float(ctrlrange[i, 1]))
-                    for i in range(nu)
-                ],
-                0,
-            )
-            force = gain0 * cl + bias0 + bias1 * length + bias2 * velocity
-            force = jnp.stack(
-                [
-                    jnp.clip(force[i], float(forcerange[i, 0]), float(forcerange[i, 1]))
-                    for i in range(nu)
-                ],
-                0,
-            )
-            qfrc_act_rows: List = [None] * nv
-            for i, dof in enumerate(trn_d):
-                qfrc_act_rows[dof] = force[i]
-            qfrc_actuator = jnp.stack(
-                [r if r is not None else zeroT for r in qfrc_act_rows], 0
-            )
+            # ----- passive + actuation (batched: const tables + exact 0/1
+            # selection matmuls instead of per-row stack loops)
+            if PACK_FK:
+                qfrc_passive = C["ndamp_col"] * qvel
+                length = jnp.dot(
+                    C["len_sel"], qpos, preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                velocity = jnp.dot(
+                    C["vel_sel"], qvel, preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                cl = jnp.clip(ctrl, C["ctrl_lo"], C["ctrl_hi"])
+                force = gain0 * cl + bias0 + bias1 * length + bias2 * velocity
+                force = jnp.clip(force, C["frc_lo"], C["frc_hi"])
+                qfrc_actuator = jnp.dot(
+                    C["act_scatter"], force, preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            else:
+                qfrc_passive = jnp.stack(
+                    [-float(dof_damping[i]) * qvel[i] for i in range(nv)], 0
+                )
+                length = jnp.stack([qpos[i] for i in trn_q], axis=0)
+                velocity = jnp.stack([qvel[i] for i in trn_d], axis=0)
+                cl = jnp.stack(
+                    [
+                        jnp.clip(
+                            ctrl[i],
+                            float(ctrlrange[i, 0]),
+                            float(ctrlrange[i, 1]),
+                        )
+                        for i in range(nu)
+                    ],
+                    0,
+                )
+                force = gain0 * cl + bias0 + bias1 * length + bias2 * velocity
+                force = jnp.stack(
+                    [
+                        jnp.clip(
+                            force[i],
+                            float(forcerange[i, 0]),
+                            float(forcerange[i, 1]),
+                        )
+                        for i in range(nu)
+                    ],
+                    0,
+                )
+                qfrc_act_rows: List = [None] * nv
+                for i, dof in enumerate(trn_d):
+                    qfrc_act_rows[dof] = force[i]
+                qfrc_actuator = jnp.stack(
+                    [r if r is not None else zeroT for r in qfrc_act_rows], 0
+                )
             qfrc_smooth = qfrc_passive - qfrc_bias + qfrc_actuator
 
             # ----- in-VMEM cholesky (right-looking, trailing submatrix only:

@@ -1,0 +1,78 @@
+"""Megakernel-vs-jnp-engine consistency WITHOUT a TPU, via Pallas interpret
+mode.
+
+The authoritative check is tests/test_megakernel_tpu.py (real chip, 10
+substeps, 3 rounds). This is its TPU-less counterpart for when the chip or
+tunnel is unavailable: one lane tile, 2 substeps, eager interpret execution
+(~2 min/scene, compile-dominated). Opt-in because of that cost:
+
+    ODPT_INTERPRET_TESTS=1 python -m pytest tests/test_megakernel_interpret.py
+
+Tolerances mirror the TPU test's per-env criterion two orders tighter than
+its gates (measured agreement is ~1e-7 qpos / ~7e-5 qvel).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from open_duck_playground_tpu.envs import duck_base
+from open_duck_playground_tpu.models import loader
+from open_duck_playground_tpu.physics import forward as F
+from open_duck_playground_tpu.physics import megakernel as MK
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("ODPT_INTERPRET_TESTS"),
+    reason="slow interpret-mode kernel check; set ODPT_INTERPRET_TESTS=1",
+)
+
+
+@pytest.mark.parametrize(
+    "scene",
+    ["scene_flat_terrain_backlash.xml", "scene_rough_terrain_backlash.xml"],
+)
+def test_megakernel_interpret_matches_engine(scene):
+    old = MK.INTERPRET
+    MK.INTERPRET = True
+    try:
+        m, mj = loader.load_model(
+            str(duck_base.XML_DIR / scene), timestep=0.002
+        )
+        B = MK.LANE_TILE
+        kq, kv = jax.random.split(jax.random.PRNGKey(0))
+        qpos = jnp.tile(
+            jnp.asarray(mj.keyframe("home").qpos, jnp.float32), (B, 1)
+        )
+        qpos = qpos + 0.01 * jax.random.normal(kq, qpos.shape, jnp.float32)
+        if m.spec.floor_is_hfield:
+            kxy = jax.random.PRNGKey(7)
+            qpos = qpos.at[:, :2].add(
+                jax.random.uniform(kxy, (B, 2), jnp.float32, -3.0, 3.0)
+            )
+        qvel = 0.1 * jax.random.normal(kv, (B, m.spec.nv), jnp.float32)
+        ctrl = jnp.tile(
+            jnp.asarray(mj.keyframe("home").ctrl, jnp.float32), (B, 1)
+        )
+        ctrl = ctrl + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(3), ctrl.shape, jnp.float32
+        )
+        d0 = jax.jit(jax.vmap(lambda q, v, c: F.init(m, q, v, c)))(
+            qpos, qvel, ctrl
+        )
+        MK.prepare(m, 2)
+        d_mk = MK.megakernel_step_batched(m, d0, ctrl, n_substeps=2)
+        d_ref = jax.jit(
+            jax.vmap(lambda dd, cc: F.step(m, dd, cc, 2, use_megakernel=False))
+        )(d0, ctrl)
+        for f, p90_tol, max_tol in [("qpos", 1e-5, 1e-4), ("qvel", 1e-3, 1e-2)]:
+            a = np.asarray(getattr(d_mk, f))
+            b = np.asarray(getattr(d_ref, f))
+            per_env = np.max(np.abs(a - b), axis=1)
+            assert float(np.percentile(per_env, 90)) < p90_tol, (scene, f)
+            assert float(per_env.max()) < max_tol, (scene, f)
+    finally:
+        MK.INTERPRET = old
