@@ -1610,38 +1610,68 @@ def _build_kernel(m: Model, n_substeps: int):
             vdofacc = cdof_dot * qvel[:, None, :] + cdof * qacc[:, None, :]
             cacc = grav[None] + mask_dot(anc, vdofacc)
 
-            sens = []
-            for kind, objid, a, dim in s.sensors:
-                b = s.site_bodyid[objid]
-                pnt = site_xpos_l[objid]
-                rot = site_xmat_l[objid]
-                w = cvel[b][:3]
-                v_p = cvel[b][3:] + lcross(w, pnt - com)
+            # per-site kinematic quantities computed once (sensors sharing a
+            # site — e.g. the IMU's gyro/velocimeter/accelerometer — reuse
+            # them), and all body-frame rotations of one site batched into a
+            # single (m,3,3,T) contraction instead of m separate rot_t calls
+            _site_w, _site_vp = {}, {}
 
-                rot_T = jnp.swapaxes(rot, 0, 1)
+            def site_w(objid):
+                if objid not in _site_w:
+                    _site_w[objid] = cvel[s.site_bodyid[objid]][:3]
+                return _site_w[objid]
 
-                def rot_t(v, rot_T=rot_T):
-                    return jnp.stack(
-                        [jnp.sum(rot_T[i] * v, axis=0) for i in range(3)], 0
+            def site_vp(objid):
+                if objid not in _site_vp:
+                    b_ = s.site_bodyid[objid]
+                    _site_vp[objid] = cvel[b_][3:] + lcross(
+                        site_w(objid), site_xpos_l[objid] - com
                     )
+                return _site_vp[objid]
 
+            def sensor_vec(kind, objid):
                 if kind == "gyro":
-                    val = rot_t(w)
-                elif kind == "velocimeter":
-                    val = rot_t(v_p)
-                elif kind == "accelerometer":
-                    a_p = cacc[b][3:] + lcross(cacc[b][:3], pnt - com) + lcross(w, v_p)
-                    val = rot_t(a_p)
+                    return site_w(objid)
+                if kind == "velocimeter":
+                    return site_vp(objid)
+                # accelerometer
+                b_ = s.site_bodyid[objid]
+                pnt = site_xpos_l[objid]
+                return (
+                    cacc[b_][3:]
+                    + lcross(cacc[b_][:3], pnt - com)
+                    + lcross(site_w(objid), site_vp(objid))
+                )
+
+            rot_groups: dict = {}  # objid -> [sensor index]
+            for si, (kind, objid, a, dim) in enumerate(s.sensors):
+                if kind in ("gyro", "velocimeter", "accelerometer"):
+                    rot_groups.setdefault(objid, []).append(si)
+            rot_vals: dict = {}  # sensor index -> rotated (3,T)
+            for objid, sids in rot_groups.items():
+                V = jnp.stack(
+                    [sensor_vec(s.sensors[si][0], objid) for si in sids], 0
+                )  # (m,3,T)
+                rot = site_xmat_l[objid]  # (3,3,T); out[m,i] = Σ_k rot[k,i]·V[m,k]
+                rotated = jnp.sum(rot[None] * V[:, :, None, :], axis=1)
+                for mi, si in enumerate(sids):
+                    rot_vals[si] = rotated[mi]
+
+            sens = []
+            for si, (kind, objid, a, dim) in enumerate(s.sensors):
+                rot = site_xmat_l[objid]
+                if si in rot_vals:
+                    val = rot_vals[si]
                 elif kind == "framezaxis":
                     val = rot[:, 2, :]
                 elif kind == "framexaxis":
                     val = rot[:, 0, :]
                 elif kind == "framelinvel":
-                    val = v_p
+                    val = site_vp(objid)
                 elif kind == "frameangvel":
-                    val = w
+                    val = site_w(objid)
                 elif kind == "framepos":
-                    val = pnt
+                    val = site_xpos_l[objid]
                 elif kind == "framequat":
                     val = site_xquat_l[objid]
                 else:  # pragma: no cover
