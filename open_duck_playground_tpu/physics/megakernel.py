@@ -623,6 +623,14 @@ def _build_kernel(m: Model, n_substeps: int):
         CONSTS["len_sel"] = _len_sel
         CONSTS["vel_sel"] = _vel_sel
         CONSTS["act_scatter"] = _vel_sel.T.copy()
+        # single-dof constraint rows (dof friction + joint limits): 0/1
+        # dof-selection matrices so J/J^T apply them as one matmul each
+        _sd = fd + lim_d
+        _ssel = np.zeros((len(_sd), nv), np.float32)
+        for _i, _d in enumerate(_sd):
+            _ssel[_i, _d] = 1.0
+        CONSTS["ssel"] = _ssel
+        CONSTS["ssel_T"] = _ssel.T.copy()
         if s.nsite >= 2:
             CONSTS["site_pos_t"] = np.asarray(site_pos_np, np.float32).reshape(-1, 3)
             CONSTS["site_quat_t"] = np.asarray(site_quat_np, np.float32).reshape(-1, 4)
@@ -1431,6 +1439,34 @@ def _build_kernel(m: Model, n_substeps: int):
             nsingle = nfric + nlim
             if not USE_BLOCK:
                 Jc = jnp.stack(J_rows, axis=0)  # (ncon*4, nv, T) dense rows
+                JcT = jnp.stack(J_rows, axis=1)  # (nv, ncon*4, T) for J^T
+            if PACK_FK:
+                # single-row coefficient vector, built once and reused by
+                # every jmul/jtmul call in the Newton iteration
+                SC = jnp.stack(scoef, axis=0)  # (nsingle,T)
+            if USE_BLOCK and PACK_FK:
+                # contact rows grouped by owning chain (facets are appended
+                # foot-major, so each group is a contiguous facet range) and
+                # stacked in BOTH row-major and dof-major layouts: Mosaic
+                # rejects 3D axis-0 multi_reductions, so J apply reduces the
+                # row-major stack along axis 1 and J^T apply reduces the
+                # dof-major stack along axis 1
+                row_groups = []  # (chain index, start facet, end facet)
+                _e0 = 0
+                for _e in range(1, ncon * 4 + 1):
+                    if _e == ncon * 4 or row_chain[_e] != row_chain[_e0]:
+                        row_groups.append((row_chain[_e0], _e0, _e))
+                        _e0 = _e
+                JG = []  # per group: (JF row-major, JC row-major, JF dof-major, JC dof-major)
+                for _ci, _a, _b in row_groups:
+                    JG.append(
+                        (
+                            jnp.stack(JF_rows[_a:_b], axis=0),
+                            jnp.stack(JC_rows[_a:_b], axis=0),
+                            jnp.stack(JF_rows[_a:_b], axis=1),
+                            jnp.stack(JC_rows[_a:_b], axis=1),
+                        )
+                    )
             aref = jnp.stack(aref_rows, axis=0)
             Dv = jnp.stack(D_rows, axis=0)
             Rv = jnp.stack(R_rows, axis=0)
@@ -1447,10 +1483,28 @@ def _build_kernel(m: Model, n_substeps: int):
 
             # ----- Newton solve
             def jmul(x):
-                single = jnp.stack(
-                    [scoef[i] * x[sdofs[i]] for i in range(nsingle)], axis=0
-                )
-                if USE_BLOCK:
+                if PACK_FK:
+                    # single rows: one 0/1 selection matmul + one multiply
+                    single = SC * jnp.dot(
+                        C["ssel"], x, preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                else:
+                    single = jnp.stack(
+                        [scoef[i] * x[sdofs[i]] for i in range(nsingle)],
+                        axis=0,
+                    )
+                if USE_BLOCK and PACK_FK:
+                    xF = x[FB[0] : FB[1]]
+                    parts = []
+                    for (ci4, _a, _b), (JFa, JCa, _, _) in zip(row_groups, JG):
+                        a_, e_ = CHAINS[ci4]
+                        parts.append(
+                            jnp.sum(JFa * xF[None], axis=1)
+                            + jnp.sum(JCa * x[a_:e_][None], axis=1)
+                        )
+                    con = jnp.concatenate(parts, axis=0)
+                elif USE_BLOCK:
                     xF = x[FB[0] : FB[1]]
                     con = jnp.stack(
                         [
@@ -1469,13 +1523,36 @@ def _build_kernel(m: Model, n_substeps: int):
                 return jnp.concatenate([single, con], axis=0)
 
             def jtmul(y):
-                rows: List = [zeroT] * nv
-                for i in range(nsingle):
-                    rows[sdofs[i]] = rows[sdofs[i]] + scoef[i] * y[i]
-                out = jnp.stack(rows, axis=0)
-                # Contact rows accumulated unrolled: Mosaic rejects both the
-                # sliced-newaxis gather (y[nsingle:, None, :]) and a 3D
-                # axis-0 multi_reduction over the sliced operand.
+                if PACK_FK:
+                    # scatter-with-coefficient as one matmul (dofs carrying
+                    # several single rows sum, matching the loop)
+                    out = jnp.dot(
+                        C["ssel_T"], SC * y[:nsingle],
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                else:
+                    rows: List = [zeroT] * nv
+                    for i in range(nsingle):
+                        rows[sdofs[i]] = rows[sdofs[i]] + scoef[i] * y[i]
+                    out = jnp.stack(rows, axis=0)
+                # Contact rows: Mosaic rejects both the sliced-newaxis gather
+                # (y[nsingle:, None, :]) and 3D axis-0 multi_reductions, so
+                # the batched path reduces the dof-major (nF, ng, T) stacks
+                # along axis 1 instead.
+                if USE_BLOCK and PACK_FK:
+                    accF = jnp.zeros((FB[1] - FB[0], T), f32)
+                    accC = [None] * len(CHAINS)
+                    for (ci4, _a, _b), (_, _, JFb, JCb) in zip(row_groups, JG):
+                        yg = y[nsingle + _a : nsingle + _b][None]  # (1,ng,T)
+                        accF = accF + jnp.sum(JFb * yg, axis=1)
+                        acc = jnp.sum(JCb * yg, axis=1)
+                        accC[ci4] = acc if accC[ci4] is None else accC[ci4] + acc
+                    accC = [
+                        a if a is not None else jnp.zeros((e_ - a_, T), f32)
+                        for a, (a_, e_) in zip(accC, CHAINS)
+                    ]
+                    return out + jnp.concatenate([accF] + accC, axis=0)
                 if USE_BLOCK:
                     accF = jnp.zeros((FB[1] - FB[0], T), f32)
                     accC = [
@@ -1487,6 +1564,8 @@ def _build_kernel(m: Model, n_substeps: int):
                         ci2 = row_chain[e]
                         accC[ci2] = accC[ci2] + JC_rows[e] * yv
                     return out + jnp.concatenate([accF] + accC, axis=0)
+                if PACK_FK:
+                    return out + jnp.sum(JcT * y[nsingle:][None], axis=1)
                 for e in range(ncon * 4):
                     out = out + Jc[e] * y[nsingle + e][None, :]
                 return out
