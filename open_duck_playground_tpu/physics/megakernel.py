@@ -60,8 +60,18 @@ DEBUG = False  # adds solver-internal debug outputs (validation only)
 # Level-packed FK/site transforms: batch the per-body quaternion walk over
 # each kinematic-tree level so component math runs on (nb,T) tiles instead of
 # nb separate (1,T) ops (VPU issue slots are the scarce resource; a (3,128)
-# op costs the same instruction as a (1,128) op). Flag for A/B benching.
-PACK_FK = True
+# op costs the same instruction as a (1,128) op). Flags for A/B benching;
+# the three areas are independent, so each packing pass is gated separately.
+# Measured on a real v5e @4096 envs (flat_terrain_backlash): all-off 943k
+# env steps/s/chip, FK-only 917k, Newton-only 883k, Sensors-only 925k,
+# all-on 854k — the jaxpr op census (-25% eqns) is only a proxy, and the
+# grouped stacks' extra VMEM traffic outweighs the saved issue slots on
+# this model size. Defaults are therefore all False; the packed paths stay
+# maintained (exercised by tests/test_megakernel_interpret.py) for larger
+# scenes where the per-body walk would dominate.
+PACK_FK = False  # level-packed FK + batched inertia/cdof/CoM/actuation
+PACK_NEWTON = False  # batched Newton J apply/transpose (grouped contact stacks)
+PACK_SENSORS = False  # batched site poses for the sensor pipeline
 
 
 def _vmem_limit_bytes() -> int:
@@ -623,6 +633,7 @@ def _build_kernel(m: Model, n_substeps: int):
         CONSTS["len_sel"] = _len_sel
         CONSTS["vel_sel"] = _vel_sel
         CONSTS["act_scatter"] = _vel_sel.T.copy()
+    if PACK_NEWTON:
         # single-dof constraint rows (dof friction + joint limits): 0/1
         # dof-selection matrices so J/J^T apply them as one matmul each
         _sd = fd + lim_d
@@ -631,9 +642,9 @@ def _build_kernel(m: Model, n_substeps: int):
             _ssel[_i, _d] = 1.0
         CONSTS["ssel"] = _ssel
         CONSTS["ssel_T"] = _ssel.T.copy()
-        if s.nsite >= 2:
-            CONSTS["site_pos_t"] = np.asarray(site_pos_np, np.float32).reshape(-1, 3)
-            CONSTS["site_quat_t"] = np.asarray(site_quat_np, np.float32).reshape(-1, 4)
+    if PACK_SENSORS and s.nsite >= 2:
+        CONSTS["site_pos_t"] = np.asarray(site_pos_np, np.float32).reshape(-1, 3)
+        CONSTS["site_quat_t"] = np.asarray(site_quat_np, np.float32).reshape(-1, 4)
     const_names = list(CONSTS.keys())
     const_values = [CONSTS[k] for k in const_names]
 
@@ -1440,11 +1451,11 @@ def _build_kernel(m: Model, n_substeps: int):
             if not USE_BLOCK:
                 Jc = jnp.stack(J_rows, axis=0)  # (ncon*4, nv, T) dense rows
                 JcT = jnp.stack(J_rows, axis=1)  # (nv, ncon*4, T) for J^T
-            if PACK_FK:
+            if PACK_NEWTON:
                 # single-row coefficient vector, built once and reused by
                 # every jmul/jtmul call in the Newton iteration
                 SC = jnp.stack(scoef, axis=0)  # (nsingle,T)
-            if USE_BLOCK and PACK_FK:
+            if USE_BLOCK and PACK_NEWTON:
                 # contact rows grouped by owning chain (facets are appended
                 # foot-major, so each group is a contiguous facet range) and
                 # stacked in BOTH row-major and dof-major layouts: Mosaic
@@ -1483,7 +1494,7 @@ def _build_kernel(m: Model, n_substeps: int):
 
             # ----- Newton solve
             def jmul(x):
-                if PACK_FK:
+                if PACK_NEWTON:
                     # single rows: one 0/1 selection matmul + one multiply
                     single = SC * jnp.dot(
                         C["ssel"], x, preferred_element_type=f32,
@@ -1494,7 +1505,7 @@ def _build_kernel(m: Model, n_substeps: int):
                         [scoef[i] * x[sdofs[i]] for i in range(nsingle)],
                         axis=0,
                     )
-                if USE_BLOCK and PACK_FK:
+                if USE_BLOCK and PACK_NEWTON:
                     xF = x[FB[0] : FB[1]]
                     parts = []
                     for (ci4, _a, _b), (JFa, JCa, _, _) in zip(row_groups, JG):
@@ -1523,7 +1534,7 @@ def _build_kernel(m: Model, n_substeps: int):
                 return jnp.concatenate([single, con], axis=0)
 
             def jtmul(y):
-                if PACK_FK:
+                if PACK_NEWTON:
                     # scatter-with-coefficient as one matmul (dofs carrying
                     # several single rows sum, matching the loop)
                     out = jnp.dot(
@@ -1540,7 +1551,7 @@ def _build_kernel(m: Model, n_substeps: int):
                 # (y[nsingle:, None, :]) and 3D axis-0 multi_reductions, so
                 # the batched path reduces the dof-major (nF, ng, T) stacks
                 # along axis 1 instead.
-                if USE_BLOCK and PACK_FK:
+                if USE_BLOCK and PACK_NEWTON:
                     accF = jnp.zeros((FB[1] - FB[0], T), f32)
                     accC = [None] * len(CHAINS)
                     for (ci4, _a, _b), (_, _, JFb, JCb) in zip(row_groups, JG):
@@ -1564,7 +1575,7 @@ def _build_kernel(m: Model, n_substeps: int):
                         ci2 = row_chain[e]
                         accC[ci2] = accC[ci2] + JC_rows[e] * yv
                     return out + jnp.concatenate([accF] + accC, axis=0)
-                if PACK_FK:
+                if PACK_NEWTON:
                     return out + jnp.sum(JcT * y[nsingle:][None], axis=1)
                 for e in range(ncon * 4):
                     out = out + Jc[e] * y[nsingle + e][None, :]
@@ -1663,7 +1674,7 @@ def _build_kernel(m: Model, n_substeps: int):
             qacc = x
 
             # ----- sensors
-            if PACK_FK and s.nsite >= 2:
+            if PACK_SENSORS and s.nsite >= 2:
                 SQ = jnp.stack([xquat[b] for b in s.site_bodyid], 0)
                 SP = jnp.stack([xpos[b] for b in s.site_bodyid], 0)
                 rs_b = blquat_rotate_constv(SQ, site_pos_np, C["site_pos_t"])
@@ -1888,7 +1899,7 @@ def prepare(m: Model, n_substeps: int, tile: int = LANE_TILE) -> None:
     structural constants. Call before tracing (e.g. at env construction)."""
     if isinstance(m.body_pos, jax.core.Tracer):
         raise ValueError("megakernel.prepare() needs a concrete Model")
-    key = (id(m.spec), n_substeps, tile)
+    key = (id(m.spec), n_substeps, tile, PACK_FK, PACK_NEWTON, PACK_SENSORS)
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = _build_kernel(m, n_substeps)
 
@@ -1901,7 +1912,7 @@ def megakernel_step_batched(m: Model, d: Data, ctrl: jnp.ndarray,
     B = d.qpos.shape[0]
     assert B % tile == 0, (B, tile)
 
-    key = (id(s), n_substeps, tile)
+    key = (id(s), n_substeps, tile, PACK_FK, PACK_NEWTON, PACK_SENSORS)
     if key not in _KERNEL_CACHE:
         prepare(m, n_substeps, tile)  # raises if the model is traced
     kernel, const_values, out_shapes, hf = _KERNEL_CACHE[key]

@@ -31,13 +31,16 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.parametrize("pack", [False, True], ids=["unpacked", "packed"])
 @pytest.mark.parametrize(
     "scene",
     ["scene_flat_terrain_backlash.xml", "scene_rough_terrain_backlash.xml"],
 )
-def test_megakernel_interpret_matches_engine(scene):
+def test_megakernel_interpret_matches_engine(scene, pack):
     old = MK.INTERPRET
+    old_pack = (MK.PACK_FK, MK.PACK_NEWTON, MK.PACK_SENSORS)
     MK.INTERPRET = True
+    MK.PACK_FK = MK.PACK_NEWTON = MK.PACK_SENSORS = pack
     try:
         m, mj = loader.load_model(
             str(duck_base.XML_DIR / scene), timestep=0.002
@@ -76,3 +79,4 @@ def test_megakernel_interpret_matches_engine(scene):
             assert float(per_env.max()) < max_tol, (scene, f)
     finally:
         MK.INTERPRET = old
+        MK.PACK_FK, MK.PACK_NEWTON, MK.PACK_SENSORS = old_pack

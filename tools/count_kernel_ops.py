@@ -33,12 +33,12 @@ def main() -> None:
     ap.add_argument("--substeps", type=int, default=10)
     ap.add_argument(
         "--pack", type=int, default=None,
-        help="override PACK_FK (1=batched, 0=per-body walk)",
+        help="override all PACK_* flags (1=batched, 0=per-body/per-row walk)",
     )
     ap.add_argument("--top", type=int, default=12)
     args = ap.parse_args()
     if args.pack is not None:
-        MK.PACK_FK = bool(args.pack)
+        MK.PACK_FK = MK.PACK_NEWTON = MK.PACK_SENSORS = bool(args.pack)
 
     m, mj = loader.load_model(
         str(duck_base.XML_DIR / f"scene_{args.task}.xml"), timestep=0.002
