@@ -57,21 +57,15 @@ HFIELD_KOFF = 2  # patch-center left offset (cells): min left margin
 # on the right (bilinear reads cell i+1, hence the extra -1).
 INTERPRET = False  # set True to run the kernel in interpreter mode (CPU tests)
 DEBUG = False  # adds solver-internal debug outputs (validation only)
-# Level-packed FK/site transforms: batch the per-body quaternion walk over
-# each kinematic-tree level so component math runs on (nb,T) tiles instead of
-# nb separate (1,T) ops (VPU issue slots are the scarce resource; a (3,128)
-# op costs the same instruction as a (1,128) op). Flags for A/B benching;
-# the three areas are independent, so each packing pass is gated separately.
-# Measured on a real v5e @4096 envs (flat_terrain_backlash): all-off 943k
-# env steps/s/chip, FK-only 917k, Newton-only 883k, Sensors-only 925k,
-# all-on 854k — the jaxpr op census (-25% eqns) is only a proxy, and the
-# grouped stacks' extra VMEM traffic outweighs the saved issue slots on
-# this model size. Defaults are therefore all False; the packed paths stay
-# maintained (exercised by tests/test_megakernel_interpret.py) for larger
-# scenes where the per-body walk would dominate.
-PACK_FK = False  # level-packed FK + batched inertia/cdof/CoM/actuation
-PACK_NEWTON = False  # batched Newton J apply/transpose (grouped contact stacks)
-PACK_SENSORS = False  # batched site poses for the sensor pipeline
+# NOTE on issue-slot batching (removed): an experiment batched the per-body
+# FK walk / Newton J apply / sensor site poses into grouped (nb,·,T) stacks
+# to cut VPU issue slots (the jaxpr op census showed -25% eqns). Measured on
+# a real v5e @4096 envs it was strictly slower — all-off 943k env steps/s/chip
+# vs all-on 854k (FK-only 917k, Newton-only 883k, Sensors-only 925k): the
+# gathered stacks' extra VMEM traffic outweighed the saved slots at this
+# model size. The losing paths were deleted (round 3); the per-body walk with
+# trace-time constant folding below IS the fast path. The op census lives on
+# in tools/count_kernel_ops.py.
 
 
 def _vmem_limit_bytes() -> int:
@@ -197,105 +191,6 @@ def lquat_to_mat(q):
             jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], 0),
         ],
         axis=0,
-    )
-
-
-def blquat_mul_constq(a, bq_np, bq_j):
-    """Batched (nb,4,T) quats multiplied by per-row CONSTANT quats.
-
-    `bq_np` (nb,4 numpy) drives column-wise trace-time specialization
-    (all-zero columns emit no ops, all-one columns skip the multiply, an
-    all-identity table returns `a`); `bq_j` is the same table as a kernel
-    input ref slice (Pallas kernels cannot capture constant arrays)."""
-    bq_np = np.asarray(bq_np, np.float64)
-    if np.allclose(bq_np, np.array([1.0, 0.0, 0.0, 0.0])):
-        return a
-    aw, ax, ay, az = a[:, 0, :], a[:, 1, :], a[:, 2, :], a[:, 3, :]
-
-    def lin(*terms):
-        out = None
-        for c, sign, v in terms:
-            npcol = sign * bq_np[:, c]
-            if np.all(np.abs(npcol) < 1e-12):
-                continue
-            if np.all(np.abs(npcol - 1.0) < 1e-12):
-                t = v
-            else:
-                jc = bq_j[:, c : c + 1]
-                t = (jc if sign > 0 else -jc) * v
-            out = t if out is None else out + t
-        return out if out is not None else 0.0 * aw
-
-    return jnp.stack(
-        [
-            lin((0, 1, aw), (1, -1, ax), (2, -1, ay), (3, -1, az)),
-            lin((1, 1, aw), (0, 1, ax), (3, 1, ay), (2, -1, az)),
-            lin((2, 1, aw), (3, -1, ax), (0, 1, ay), (1, 1, az)),
-            lin((3, 1, aw), (2, 1, ax), (1, -1, ay), (0, 1, az)),
-        ],
-        axis=1,
-    )
-
-
-def blquat_rotate_constv(q, v_np, v_j):
-    """Rotate per-row CONSTANT 3-vectors by batched quats q (nb,4,T).
-
-    `v_np` (nb,3 numpy) drives specialization, `v_j` is the kernel-input
-    ref slice with the same values. Returns None when every row is zero."""
-    v_np = np.asarray(v_np, np.float64)
-    if np.all(np.abs(v_np) < 1e-12):
-        return None
-    u = q[:, 1:, :]  # (nb,3,T)
-    u0, u1, u2 = u[:, 0, :], u[:, 1, :], u[:, 2, :]
-
-    def term(c, sign, vec):
-        npcol = sign * v_np[:, c]
-        if np.all(np.abs(npcol) < 1e-12):
-            return None
-        if np.all(np.abs(npcol - 1.0) < 1e-12):
-            return vec
-        jc = v_j[:, c : c + 1]
-        return (jc if sign > 0 else -jc) * vec
-
-    def lin(t1, t2):
-        a_, b_ = term(*t1), term(*t2)
-        if a_ is None and b_ is None:
-            return 0.0 * u0
-        if a_ is None:
-            return b_
-        if b_ is None:
-            return a_
-        return a_ + b_
-
-    uv = jnp.stack(
-        [
-            lin((2, 1, u1), (1, -1, u2)),
-            lin((0, 1, u2), (2, -1, u0)),
-            lin((1, 1, u0), (0, -1, u1)),
-        ],
-        axis=1,
-    )
-    uuv = lcross(u, uv)
-    base = v_j[:, :, None] + 0.0 * q[:, :1, :]
-    return base + 2.0 * (q[:, :1, :] * uv + uuv)
-
-
-def blquat_to_mat(q):
-    """(nb,4,T) -> (nb,3,3,T); batched-row lquat_to_mat."""
-    w, x, y, z = q[:, 0, :], q[:, 1, :], q[:, 2, :], q[:, 3, :]
-    return jnp.stack(
-        [
-            jnp.stack(
-                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], 1
-            ),
-            jnp.stack(
-                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], 1
-            ),
-            jnp.stack(
-                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], 1
-            ),
-        ],
-        axis=1,
     )
 
 
@@ -490,33 +385,6 @@ def _build_kernel(m: Model, n_substeps: int):
     levels = structure.tree_levels(s)
     iterations, ls_iterations = s.iterations, s.ls_iterations
 
-    # FK level packing eligibility: a level batches when it has >=2 bodies
-    # whose joints are all hinges anchored at their body origin (jnt_pos==0,
-    # true of every duck joint) — the free-joint root and single-body levels
-    # keep the per-body specialized path.
-    def _level_packable(level) -> bool:
-        bodies = [int(b) for b in level]
-        if len(bodies) < 2:
-            return False
-        for b in bodies:
-            for j in range(s.body_jntadr[b], s.body_jntadr[b] + s.body_jntnum[b]):
-                if s.jnt_type[j] != HINGE:
-                    return False
-                if not np.allclose(np.asarray(m.jnt_pos[j]), 0.0):
-                    return False
-        return True
-
-    fk_pack = [PACK_FK and _level_packable(level) for level in levels]
-    # cdof rows batch into one lcross when the dof layout is the standard
-    # free-root-then-contiguous-hinges arrangement
-    _hd = [int(s.jnt_dofadr[j]) for j in structure.hinge_joints(s)]
-    cdof_packed = (
-        PACK_FK
-        and structure.free_joint(s) >= 0
-        and int(s.jnt_dofadr[structure.free_joint(s)]) == 0
-        and _hd == list(range(6, 6 + len(_hd)))
-    )
-
     # Block-arrow partition of the dof space (root free joint + decoupled
     # serial chains): lets the two in-kernel factorizations run per-block
     # (zero fill-in — chains only couple through the root block) and the
@@ -585,66 +453,7 @@ def _build_kernel(m: Model, n_substeps: int):
         dofsub_mask=desc_np[dofbody, :],
     )
 
-    # Packed-FK constant tables (Pallas kernels cannot capture constant
-    # arrays, so the per-level batched frame constants enter as inputs;
-    # rows are laid out contiguously per level / per joint slot so the
-    # kernel reads them as static slices).
-    fk_off: dict = {}
-    fk_jav_off: dict = {}
-    if any(fk_pack):
-        bp_rows, bq_rows, jav_rows = [], [], []
-        for li, (level, packed) in enumerate(zip(levels, fk_pack)):
-            if not packed:
-                continue
-            idx = [int(b) for b in level]
-            fk_off[li] = len(bp_rows)
-            for b in idx:
-                bp_rows.append(np.asarray(body_pos_np[b], np.float64))
-                bq_rows.append(np.asarray(body_quat_np[b], np.float64))
-            nslot = max(int(s.body_jntnum[b]) for b in idx)
-            for slot in range(nslot):
-                fk_jav_off[(li, slot)] = len(jav_rows)
-                for b in idx:
-                    if s.body_jntnum[b] > slot:
-                        j = int(s.body_jntadr[b] + slot)
-                        jav_rows.append(np.asarray(jnt_axis_np[j], np.float64))
-                    else:
-                        jav_rows.append(np.zeros(3))
-        CONSTS["fk_bp"] = np.asarray(bp_rows, np.float32).reshape(-1, 3)
-        CONSTS["fk_bq"] = np.asarray(bq_rows, np.float32).reshape(-1, 4)
-        CONSTS["fk_jav"] = np.asarray(jav_rows, np.float32).reshape(-1, 3)
     in_tree = anc_np.any(axis=1).astype(np.float32)
-    if PACK_FK:
-        CONSTS["biq_t"] = np.asarray(body_iquat_np, np.float32).reshape(nbody, 4)
-        CONSTS["intree_col"] = in_tree.astype(np.float32).reshape(nbody, 1)
-        # actuation tables: per-dof damping, per-actuator ctrl/force ranges,
-        # and 0/1 selection/scatter matrices (one MXU dot replaces the
-        # per-row stack loops; 0/1 HIGHEST-precision selection is exact)
-        CONSTS["ndamp_col"] = (-dof_damping).astype(np.float32).reshape(nv, 1)
-        CONSTS["ctrl_lo"] = ctrlrange[:, 0].astype(np.float32).reshape(nu, 1)
-        CONSTS["ctrl_hi"] = ctrlrange[:, 1].astype(np.float32).reshape(nu, 1)
-        CONSTS["frc_lo"] = forcerange[:, 0].astype(np.float32).reshape(nu, 1)
-        CONSTS["frc_hi"] = forcerange[:, 1].astype(np.float32).reshape(nu, 1)
-        _len_sel = np.zeros((nu, s.nq), np.float32)
-        _vel_sel = np.zeros((nu, nv), np.float32)
-        for _i in range(nu):
-            _len_sel[_i, trn_q[_i]] = 1.0
-            _vel_sel[_i, trn_d[_i]] = 1.0
-        CONSTS["len_sel"] = _len_sel
-        CONSTS["vel_sel"] = _vel_sel
-        CONSTS["act_scatter"] = _vel_sel.T.copy()
-    if PACK_NEWTON:
-        # single-dof constraint rows (dof friction + joint limits): 0/1
-        # dof-selection matrices so J/J^T apply them as one matmul each
-        _sd = fd + lim_d
-        _ssel = np.zeros((len(_sd), nv), np.float32)
-        for _i, _d in enumerate(_sd):
-            _ssel[_i, _d] = 1.0
-        CONSTS["ssel"] = _ssel
-        CONSTS["ssel_T"] = _ssel.T.copy()
-    if PACK_SENSORS and s.nsite >= 2:
-        CONSTS["site_pos_t"] = np.asarray(site_pos_np, np.float32).reshape(-1, 3)
-        CONSTS["site_quat_t"] = np.asarray(site_quat_np, np.float32).reshape(-1, 4)
     const_names = list(CONSTS.keys())
     const_values = [CONSTS[k] for k in const_names]
 
@@ -700,58 +509,7 @@ def _build_kernel(m: Model, n_substeps: int):
                 )
                 sh_all = jnp.sin(half_all)
                 ch_all = jnp.cos(half_all)
-            for li, (level, packed) in enumerate(zip(levels, fk_pack)):
-                if packed:
-                    # batched level walk: one (nbL,·,T) op per math step for
-                    # the whole level instead of per-body (1,T) chains
-                    idx = [int(b) for b in level]
-                    nbL = len(idx)
-                    off = fk_off[li]
-                    bp_j = C["fk_bp"][off : off + nbL]
-                    bq_j = C["fk_bq"][off : off + nbL]
-                    P = jnp.stack([xquat[s.body_parentid[b]] for b in idx], 0)
-                    XP = jnp.stack([xpos[s.body_parentid[b]] for b in idx], 0)
-                    rr = blquat_rotate_constv(P, body_pos_np[idx], bp_j)
-                    pos = XP if rr is None else XP + rr
-                    quat = blquat_mul_constq(P, body_quat_np[idx], bq_j)
-                    nslot = max(int(s.body_jntnum[b]) for b in idx)
-                    for slot in range(nslot):
-                        javo = fk_jav_off[(li, slot)]
-                        jav_j = C["fk_jav"][javo : javo + nbL]
-                        jav = np.zeros((nbL, 3))
-                        sh_rows, ch_rows, present = [], [], []
-                        for i, b in enumerate(idx):
-                            if s.body_jntnum[b] > slot:
-                                j = int(s.body_jntadr[b] + slot)
-                                jav[i] = np.asarray(jnt_axis_np[j], np.float64)
-                                r = hrow[j]
-                                sh_rows.append(sh_all[r])
-                                ch_rows.append(ch_all[r])
-                                present.append((i, j))
-                            else:  # pad row: identity joint, quat unchanged
-                                sh_rows.append(zeroT)
-                                ch_rows.append(oneT)
-                        axw = blquat_rotate_constv(quat, jav, jav_j)
-                        sh = jnp.stack(sh_rows, 0)  # (nbL,T)
-                        ch = jnp.stack(ch_rows, 0)
-                        comps = [ch]
-                        for c in range(3):
-                            col = jav[:, c]
-                            if np.all(np.abs(col) < 1e-12):
-                                comps.append(0.0 * sh)
-                            elif np.all(np.abs(col - 1.0) < 1e-12):
-                                comps.append(sh)
-                            else:
-                                comps.append(jav_j[:, c : c + 1] * sh)
-                        jq = jnp.stack(comps, axis=1)  # (nbL,4,T)
-                        quat = lquat_mul(quat, jq)
-                        for i, j in present:
-                            xanchor[j] = pos[i]  # jnt_pos==0: anchor at body
-                            xaxis[j] = axw[i]
-                    for i, b in enumerate(idx):
-                        xpos[b] = pos[i]
-                        xquat[b] = quat[i]
-                    continue
+            for level in levels:
                 for b in level:
                     p = s.body_parentid[b]
                     rr = lquat_rotate_constv(xquat[p], body_pos_np[b])
@@ -791,95 +549,52 @@ def _build_kernel(m: Model, n_substeps: int):
                     xpos[b] = pos
                     xquat[b] = quat
 
-            if PACK_FK:
-                XQst = jnp.stack(xquat, 0)  # (nbody,4,T)
-                XPst = jnp.stack(xpos, 0)  # (nbody,3,T)
-                xipos_stk = XPst + lquat_rotate(XQst, body_ipos)
-                ximat_stk = blquat_to_mat(
-                    blquat_mul_constq(XQst, body_iquat_np, C["biq_t"])
-                )
-                xipos = [xipos_stk[b] for b in range(nbody)]
-                ximat = [ximat_stk[b] for b in range(nbody)]
-            else:
-                xipos_stk = ximat_stk = None
-                xipos = [
-                    xpos[b] + lquat_rotate(xquat[b], body_ipos[b])
-                    for b in range(nbody)
-                ]
-                ximat = [
-                    lquat_to_mat(lquat_mul_constq(xquat[b], body_iquat_np[b]))
-                    for b in range(nbody)
-                ]
+            xipos = [
+                xpos[b] + lquat_rotate(xquat[b], body_ipos[b])
+                for b in range(nbody)
+            ]
+            ximat = [
+                lquat_to_mat(lquat_mul_constq(xquat[b], body_iquat_np[b]))
+                for b in range(nbody)
+            ]
 
             # ----- CoM + cdof
-            if PACK_FK:
-                bm_t = body_mass * C["intree_col"]  # (nbody,T)
-                total_mass = jnp.sum(bm_t, axis=0)
-                com = jnp.sum(bm_t[:, None, :] * xipos_stk, axis=0) * (
-                    1.0 / total_mass
-                )[None, :]
-            else:
-                total_mass = sum(
-                    body_mass[b] * float(in_tree[b]) for b in range(nbody)
+            total_mass = sum(
+                body_mass[b] * float(in_tree[b]) for b in range(nbody)
+            )
+            com = (
+                sum(
+                    body_mass[b][None, :] * float(in_tree[b]) * xipos[b]
+                    for b in range(nbody)
                 )
-                com = (
-                    sum(
-                        body_mass[b][None, :] * float(in_tree[b]) * xipos[b]
-                        for b in range(nbody)
-                    )
-                    * (1.0 / total_mass)[None, :]
-                )
+                * (1.0 / total_mass)[None, :]
+            )
 
-            if cdof_packed:
-                # all rotational dof rows (free-joint world axes + every
-                # hinge) share one batched cross product; translation rows
-                # are the constant basis
-                rb = lquat_to_mat(xquat[s.jnt_bodyid[free_j]])
-                AX = jnp.stack(
-                    [rb[:, 0, :], rb[:, 1, :], rb[:, 2, :]]
-                    + [xaxis[j] for j in hinge_j],
-                    0,
-                )  # (3+nh,3,T)
-                AN = jnp.stack(
-                    [xanchor[free_j]] * 3 + [xanchor[j] for j in hinge_j], 0
-                )
-                LIN = lcross(AX, com[None] - AN)
-                rot_rows = jnp.concatenate([AX, LIN], axis=1)  # (3+nh,6,T)
-                trans_rows = jnp.stack(
-                    [
-                        jnp.stack([zeroT, zeroT, zeroT, oneT, zeroT, zeroT], 0),
-                        jnp.stack([zeroT, zeroT, zeroT, zeroT, oneT, zeroT], 0),
-                        jnp.stack([zeroT, zeroT, zeroT, zeroT, zeroT, oneT], 0),
-                    ],
-                    0,
-                )
-                cdof = jnp.concatenate([trans_rows, rot_rows], axis=0)  # (nv,6,T)
-            else:
-                cdof_list: List = [None] * nv
-                for j in hinge_j:
-                    d_ = s.jnt_dofadr[j]
-                    lin = lcross(xaxis[j], com - xanchor[j])
-                    cdof_list[d_] = jnp.concatenate([xaxis[j], lin], axis=0)
-                if free_j >= 0:
-                    d_ = s.jnt_dofadr[free_j]
-                    b = s.jnt_bodyid[free_j]
-                    basis = [
-                        jnp.stack([oneT, zeroT, zeroT]),
-                        jnp.stack([zeroT, oneT, zeroT]),
-                        jnp.stack([zeroT, zeroT, oneT]),
-                    ]
-                    for i in range(3):
-                        cdof_list[d_ + i] = jnp.concatenate(
-                            [zero3, basis[i]], axis=0
-                        )
-                    rb = lquat_to_mat(xquat[b])
-                    for i in range(3):
-                        axis = rb[:, i, :]
-                        lin = lcross(axis, com - xanchor[free_j])
-                        cdof_list[d_ + 3 + i] = jnp.concatenate(
-                            [axis, lin], axis=0
-                        )
-                cdof = jnp.stack(cdof_list, axis=0)  # (nv,6,T)
+            cdof_list: List = [None] * nv
+            for j in hinge_j:
+                d_ = s.jnt_dofadr[j]
+                lin = lcross(xaxis[j], com - xanchor[j])
+                cdof_list[d_] = jnp.concatenate([xaxis[j], lin], axis=0)
+            if free_j >= 0:
+                d_ = s.jnt_dofadr[free_j]
+                b = s.jnt_bodyid[free_j]
+                basis = [
+                    jnp.stack([oneT, zeroT, zeroT]),
+                    jnp.stack([zeroT, oneT, zeroT]),
+                    jnp.stack([zeroT, zeroT, oneT]),
+                ]
+                for i in range(3):
+                    cdof_list[d_ + i] = jnp.concatenate(
+                        [zero3, basis[i]], axis=0
+                    )
+                rb = lquat_to_mat(xquat[b])
+                for i in range(3):
+                    axis = rb[:, i, :]
+                    lin = lcross(axis, com - xanchor[free_j])
+                    cdof_list[d_ + 3 + i] = jnp.concatenate(
+                        [axis, lin], axis=0
+                    )
+            cdof = jnp.stack(cdof_list, axis=0)  # (nv,6,T)
 
             # ----- velocities
             vdof = cdof * qvel[:, None, :]
@@ -912,8 +627,8 @@ def _build_kernel(m: Model, n_substeps: int):
 
             # spatial body inertias, batched over all bodies at once (the
             # world body's zero mass/inertia makes its row identically zero)
-            xipos_st = xipos_stk if PACK_FK else jnp.stack(xipos, 0)  # (nbody,3,T)
-            ximat_st = ximat_stk if PACK_FK else jnp.stack(ximat, 0)  # (nbody,3,3,T)
+            xipos_st = jnp.stack(xipos, 0)  # (nbody,3,T)
+            ximat_st = jnp.stack(ximat, 0)  # (nbody,3,3,T)
             RI = ximat_st * C["body_inertia3"]  # R[b,i,k] * I[b,k]
             ricr = sum(
                 RI[:, :, k, :][:, :, None, :] * ximat_st[:, :, k, :][:, None, :, :]
@@ -1058,60 +773,41 @@ def _build_kernel(m: Model, n_substeps: int):
                     - C["eye_nv1"] * mdiag[:, None, :]
                 )
 
-            # ----- passive + actuation (batched: const tables + exact 0/1
-            # selection matmuls instead of per-row stack loops)
-            if PACK_FK:
-                qfrc_passive = C["ndamp_col"] * qvel
-                length = jnp.dot(
-                    C["len_sel"], qpos, preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                velocity = jnp.dot(
-                    C["vel_sel"], qvel, preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                cl = jnp.clip(ctrl, C["ctrl_lo"], C["ctrl_hi"])
-                force = gain0 * cl + bias0 + bias1 * length + bias2 * velocity
-                force = jnp.clip(force, C["frc_lo"], C["frc_hi"])
-                qfrc_actuator = jnp.dot(
-                    C["act_scatter"], force, preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-            else:
-                qfrc_passive = jnp.stack(
-                    [-float(dof_damping[i]) * qvel[i] for i in range(nv)], 0
-                )
-                length = jnp.stack([qpos[i] for i in trn_q], axis=0)
-                velocity = jnp.stack([qvel[i] for i in trn_d], axis=0)
-                cl = jnp.stack(
-                    [
-                        jnp.clip(
-                            ctrl[i],
-                            float(ctrlrange[i, 0]),
-                            float(ctrlrange[i, 1]),
-                        )
-                        for i in range(nu)
-                    ],
-                    0,
-                )
-                force = gain0 * cl + bias0 + bias1 * length + bias2 * velocity
-                force = jnp.stack(
-                    [
-                        jnp.clip(
-                            force[i],
-                            float(forcerange[i, 0]),
-                            float(forcerange[i, 1]),
-                        )
-                        for i in range(nu)
-                    ],
-                    0,
-                )
-                qfrc_act_rows: List = [None] * nv
-                for i, dof in enumerate(trn_d):
-                    qfrc_act_rows[dof] = force[i]
-                qfrc_actuator = jnp.stack(
-                    [r if r is not None else zeroT for r in qfrc_act_rows], 0
-                )
+            # ----- passive + actuation
+            qfrc_passive = jnp.stack(
+                [-float(dof_damping[i]) * qvel[i] for i in range(nv)], 0
+            )
+            length = jnp.stack([qpos[i] for i in trn_q], axis=0)
+            velocity = jnp.stack([qvel[i] for i in trn_d], axis=0)
+            cl = jnp.stack(
+                [
+                    jnp.clip(
+                        ctrl[i],
+                        float(ctrlrange[i, 0]),
+                        float(ctrlrange[i, 1]),
+                    )
+                    for i in range(nu)
+                ],
+                0,
+            )
+            force = gain0 * cl + bias0 + bias1 * length + bias2 * velocity
+            force = jnp.stack(
+                [
+                    jnp.clip(
+                        force[i],
+                        float(forcerange[i, 0]),
+                        float(forcerange[i, 1]),
+                    )
+                    for i in range(nu)
+                ],
+                0,
+            )
+            qfrc_act_rows: List = [None] * nv
+            for i, dof in enumerate(trn_d):
+                qfrc_act_rows[dof] = force[i]
+            qfrc_actuator = jnp.stack(
+                [r if r is not None else zeroT for r in qfrc_act_rows], 0
+            )
             qfrc_smooth = qfrc_passive - qfrc_bias + qfrc_actuator
 
             # ----- in-VMEM cholesky (right-looking, trailing submatrix only:
@@ -1450,34 +1146,6 @@ def _build_kernel(m: Model, n_substeps: int):
             nsingle = nfric + nlim
             if not USE_BLOCK:
                 Jc = jnp.stack(J_rows, axis=0)  # (ncon*4, nv, T) dense rows
-                JcT = jnp.stack(J_rows, axis=1)  # (nv, ncon*4, T) for J^T
-            if PACK_NEWTON:
-                # single-row coefficient vector, built once and reused by
-                # every jmul/jtmul call in the Newton iteration
-                SC = jnp.stack(scoef, axis=0)  # (nsingle,T)
-            if USE_BLOCK and PACK_NEWTON:
-                # contact rows grouped by owning chain (facets are appended
-                # foot-major, so each group is a contiguous facet range) and
-                # stacked in BOTH row-major and dof-major layouts: Mosaic
-                # rejects 3D axis-0 multi_reductions, so J apply reduces the
-                # row-major stack along axis 1 and J^T apply reduces the
-                # dof-major stack along axis 1
-                row_groups = []  # (chain index, start facet, end facet)
-                _e0 = 0
-                for _e in range(1, ncon * 4 + 1):
-                    if _e == ncon * 4 or row_chain[_e] != row_chain[_e0]:
-                        row_groups.append((row_chain[_e0], _e0, _e))
-                        _e0 = _e
-                JG = []  # per group: (JF row-major, JC row-major, JF dof-major, JC dof-major)
-                for _ci, _a, _b in row_groups:
-                    JG.append(
-                        (
-                            jnp.stack(JF_rows[_a:_b], axis=0),
-                            jnp.stack(JC_rows[_a:_b], axis=0),
-                            jnp.stack(JF_rows[_a:_b], axis=1),
-                            jnp.stack(JC_rows[_a:_b], axis=1),
-                        )
-                    )
             aref = jnp.stack(aref_rows, axis=0)
             Dv = jnp.stack(D_rows, axis=0)
             Rv = jnp.stack(R_rows, axis=0)
@@ -1494,28 +1162,11 @@ def _build_kernel(m: Model, n_substeps: int):
 
             # ----- Newton solve
             def jmul(x):
-                if PACK_NEWTON:
-                    # single rows: one 0/1 selection matmul + one multiply
-                    single = SC * jnp.dot(
-                        C["ssel"], x, preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                else:
-                    single = jnp.stack(
-                        [scoef[i] * x[sdofs[i]] for i in range(nsingle)],
-                        axis=0,
-                    )
-                if USE_BLOCK and PACK_NEWTON:
-                    xF = x[FB[0] : FB[1]]
-                    parts = []
-                    for (ci4, _a, _b), (JFa, JCa, _, _) in zip(row_groups, JG):
-                        a_, e_ = CHAINS[ci4]
-                        parts.append(
-                            jnp.sum(JFa * xF[None], axis=1)
-                            + jnp.sum(JCa * x[a_:e_][None], axis=1)
-                        )
-                    con = jnp.concatenate(parts, axis=0)
-                elif USE_BLOCK:
+                single = jnp.stack(
+                    [scoef[i] * x[sdofs[i]] for i in range(nsingle)],
+                    axis=0,
+                )
+                if USE_BLOCK:
                     xF = x[FB[0] : FB[1]]
                     con = jnp.stack(
                         [
@@ -1534,36 +1185,10 @@ def _build_kernel(m: Model, n_substeps: int):
                 return jnp.concatenate([single, con], axis=0)
 
             def jtmul(y):
-                if PACK_NEWTON:
-                    # scatter-with-coefficient as one matmul (dofs carrying
-                    # several single rows sum, matching the loop)
-                    out = jnp.dot(
-                        C["ssel_T"], SC * y[:nsingle],
-                        preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                else:
-                    rows: List = [zeroT] * nv
-                    for i in range(nsingle):
-                        rows[sdofs[i]] = rows[sdofs[i]] + scoef[i] * y[i]
-                    out = jnp.stack(rows, axis=0)
-                # Contact rows: Mosaic rejects both the sliced-newaxis gather
-                # (y[nsingle:, None, :]) and 3D axis-0 multi_reductions, so
-                # the batched path reduces the dof-major (nF, ng, T) stacks
-                # along axis 1 instead.
-                if USE_BLOCK and PACK_NEWTON:
-                    accF = jnp.zeros((FB[1] - FB[0], T), f32)
-                    accC = [None] * len(CHAINS)
-                    for (ci4, _a, _b), (_, _, JFb, JCb) in zip(row_groups, JG):
-                        yg = y[nsingle + _a : nsingle + _b][None]  # (1,ng,T)
-                        accF = accF + jnp.sum(JFb * yg, axis=1)
-                        acc = jnp.sum(JCb * yg, axis=1)
-                        accC[ci4] = acc if accC[ci4] is None else accC[ci4] + acc
-                    accC = [
-                        a if a is not None else jnp.zeros((e_ - a_, T), f32)
-                        for a, (a_, e_) in zip(accC, CHAINS)
-                    ]
-                    return out + jnp.concatenate([accF] + accC, axis=0)
+                rows: List = [zeroT] * nv
+                for i in range(nsingle):
+                    rows[sdofs[i]] = rows[sdofs[i]] + scoef[i] * y[i]
+                out = jnp.stack(rows, axis=0)
                 if USE_BLOCK:
                     accF = jnp.zeros((FB[1] - FB[0], T), f32)
                     accC = [
@@ -1575,8 +1200,6 @@ def _build_kernel(m: Model, n_substeps: int):
                         ci2 = row_chain[e]
                         accC[ci2] = accC[ci2] + JC_rows[e] * yv
                     return out + jnp.concatenate([accF] + accC, axis=0)
-                if PACK_NEWTON:
-                    return out + jnp.sum(JcT * y[nsingle:][None], axis=1)
                 for e in range(ncon * 4):
                     out = out + Jc[e] * y[nsingle + e][None, :]
                 return out
@@ -1674,28 +1297,17 @@ def _build_kernel(m: Model, n_substeps: int):
             qacc = x
 
             # ----- sensors
-            if PACK_SENSORS and s.nsite >= 2:
-                SQ = jnp.stack([xquat[b] for b in s.site_bodyid], 0)
-                SP = jnp.stack([xpos[b] for b in s.site_bodyid], 0)
-                rs_b = blquat_rotate_constv(SQ, site_pos_np, C["site_pos_t"])
-                site_xpos_st = SP if rs_b is None else SP + rs_b
-                site_xquat_st = blquat_mul_constq(SQ, site_quat_np, C["site_quat_t"])
-                site_xmat_st = blquat_to_mat(site_xquat_st)
-                site_xpos_l = [site_xpos_st[i] for i in range(s.nsite)]
-                site_xmat_l = [site_xmat_st[i] for i in range(s.nsite)]
-                site_xquat_l = [site_xquat_st[i] for i in range(s.nsite)]
-            else:
-                site_xpos_l, site_xmat_l, site_xquat_l = [], [], []
-                for i in range(s.nsite):
-                    b = s.site_bodyid[i]
-                    rs = lquat_rotate_constv(xquat[b], site_pos_np[i])
-                    sp = xpos[b] if rs is None else xpos[b] + rs
-                    sq = lquat_mul_constq(xquat[b], site_quat_np[i])
-                    site_xpos_l.append(sp)
-                    site_xquat_l.append(sq)
-                    site_xmat_l.append(lquat_to_mat(sq))
-                site_xpos_st = jnp.stack(site_xpos_l, 0)
-                site_xmat_st = jnp.stack(site_xmat_l, 0)
+            site_xpos_l, site_xmat_l, site_xquat_l = [], [], []
+            for i in range(s.nsite):
+                b = s.site_bodyid[i]
+                rs = lquat_rotate_constv(xquat[b], site_pos_np[i])
+                sp = xpos[b] if rs is None else xpos[b] + rs
+                sq = lquat_mul_constq(xquat[b], site_quat_np[i])
+                site_xpos_l.append(sp)
+                site_xquat_l.append(sq)
+                site_xmat_l.append(lquat_to_mat(sq))
+            site_xpos_st = jnp.stack(site_xpos_l, 0)
+            site_xmat_st = jnp.stack(site_xmat_l, 0)
 
             vdofacc = cdof_dot * qvel[:, None, :] + cdof * qacc[:, None, :]
             cacc = grav[None] + mask_dot(anc, vdofacc)
@@ -1899,7 +1511,7 @@ def prepare(m: Model, n_substeps: int, tile: int = LANE_TILE) -> None:
     structural constants. Call before tracing (e.g. at env construction)."""
     if isinstance(m.body_pos, jax.core.Tracer):
         raise ValueError("megakernel.prepare() needs a concrete Model")
-    key = (id(m.spec), n_substeps, tile, PACK_FK, PACK_NEWTON, PACK_SENSORS)
+    key = (id(m.spec), n_substeps, tile)
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = _build_kernel(m, n_substeps)
 
@@ -1912,7 +1524,7 @@ def megakernel_step_batched(m: Model, d: Data, ctrl: jnp.ndarray,
     B = d.qpos.shape[0]
     assert B % tile == 0, (B, tile)
 
-    key = (id(s), n_substeps, tile, PACK_FK, PACK_NEWTON, PACK_SENSORS)
+    key = (id(s), n_substeps, tile)
     if key not in _KERNEL_CACHE:
         prepare(m, n_substeps, tile)  # raises if the model is traced
     kernel, const_values, out_shapes, hf = _KERNEL_CACHE[key]

@@ -3,9 +3,18 @@
 Traces the Pallas kernel (no compile, no device) and counts jaxpr equations
 by primitive. On a VPU, a (3,128) elementwise op costs the same issue slot
 as a (1,128) op, so falling totals here track the issue-bound component of
-kernel time (the batching passes cut 24.6k -> 16.3k eqns on the flat scene).
+kernel time. (Historical note: the removed PACK_* batching passes cut
+24.6k -> 16.3k eqns on the flat scene yet measured slower on a real v5e —
+op count is a proxy, not the objective; see megakernel.py header.)
 
-    python tools/count_kernel_ops.py [--task flat_terrain_backlash] [--pack 0|1]
+    python tools/count_kernel_ops.py [--task flat_terrain_backlash]
+
+`--slots` additionally estimates VPU issue slots from eqn output shapes:
+an elementwise op producing (S…, 128) costs ceil(prod(S…)/8) slots (the VPU
+datapath retires an (8,128) vreg per cycle), transcendentals cost a
+multi-pass factor, and reductions pay log2 shuffle passes. That lower bound
+divided into the clock gives a speed-of-light env rate for the kernel — the
+number ARCHITECTURE.md's roofline section quotes against the measured rate.
 """
 
 import argparse
@@ -27,18 +36,72 @@ from open_duck_playground_tpu.physics import forward as F
 from open_duck_playground_tpu.physics import megakernel as MK
 
 
+# Multi-pass cost factors for ops the VPU's special-function path expands
+# into several instructions (approximate; TPU microarchitecture isn't
+# public — factors chosen so the estimate stays a defensible LOWER bound).
+_XCEND = {
+    "exp": 3.0, "log": 3.0, "tanh": 4.0, "logistic": 4.0,
+    "sin": 4.0, "cos": 4.0, "div": 2.0, "rsqrt": 2.0, "sqrt": 2.0,
+    "pow": 6.0, "integer_pow": 2.0, "erf": 4.0,
+}
+# pure bookkeeping at trace level — no VPU datapath work
+_FREE = {
+    "reshape", "squeeze", "broadcast_in_dim", "convert_element_type",
+    "slice", "transpose", "copy", "pjit", "custom_jvp_call", "closed_call",
+}
+
+
+def _eqn_slots(eqn) -> float:
+    """Estimated VPU issue slots for one jaxpr eqn inside the kernel.
+
+    Kernel arrays are (..., T=128) lane tiles; an elementwise op producing
+    prod(leading)=S sublane rows retires ceil(S/8) (8,128) vregs. Reductions
+    pay the same per-input cost plus log2(8)=3 cross-sublane shuffle passes
+    when they collapse sublanes. Scalar ops cost one slot."""
+    import math
+
+    name = eqn.primitive.name
+    if name in _FREE:
+        return 0.0
+    shape = None
+    for v in eqn.outvars:
+        aval = getattr(v, "aval", None)
+        if aval is not None and getattr(aval, "shape", None):
+            shape = aval.shape
+            break
+    if shape is None or len(shape) == 0:
+        base = 1.0
+    elif shape[-1] >= 128:
+        sub = 1
+        for s in shape[:-1]:
+            sub *= s
+        base = math.ceil(sub / 8) * (shape[-1] // 128)
+    else:  # sub-lane-width arrays still occupy a vreg slot per 8 rows
+        sub = 1
+        for s in shape:
+            sub *= s
+        base = math.ceil(sub / (8 * 128))
+        base = max(base, 1)
+    if name.startswith("reduce_"):
+        # cost of reading the (bigger) input + shuffle passes
+        inshape = eqn.invars[0].aval.shape
+        sub = 1
+        for s in inshape[:-1]:
+            sub *= s
+        base = math.ceil(sub / 8) + 3
+    return base * _XCEND.get(name, 1.0)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", default="flat_terrain_backlash")
     ap.add_argument("--substeps", type=int, default=10)
-    ap.add_argument(
-        "--pack", type=int, default=None,
-        help="override all PACK_* flags (1=batched, 0=per-body/per-row walk)",
-    )
     ap.add_argument("--top", type=int, default=12)
+    ap.add_argument("--slots", action="store_true",
+                    help="estimate VPU issue slots + speed-of-light env rate")
+    ap.add_argument("--clock_ghz", type=float, default=0.94,
+                    help="TPU core clock (v5e ~0.94 GHz)")
     args = ap.parse_args()
-    if args.pack is not None:
-        MK.PACK_FK = MK.PACK_NEWTON = MK.PACK_SENSORS = bool(args.pack)
 
     m, mj = loader.load_model(
         str(duck_base.XML_DIR / f"scene_{args.task}.xml"), timestep=0.002
@@ -59,21 +122,35 @@ def main() -> None:
     ]
     assert pallas, "no pallas_call in trace (batch not LANE_TILE-aligned?)"
     cnt: Counter = Counter()
+    slots: Counter = Counter()
 
     def walk(jx):
         for eqn in jx.eqns:
             cnt[eqn.primitive.name] += 1
+            if args.slots:
+                slots[eqn.primitive.name] += _eqn_slots(eqn)
             for v in eqn.params.values():
                 if hasattr(v, "jaxpr"):
                     walk(v.jaxpr)
 
     walk(pallas[0].params["jaxpr"])
     print(
-        f"task={args.task} PACK_FK={MK.PACK_FK} substeps={args.substeps} "
+        f"task={args.task} substeps={args.substeps} "
         f"total_eqns={sum(cnt.values())}"
     )
     for name, n in cnt.most_common(args.top):
         print(f"  {name:24s} {n}")
+    if args.slots:
+        total = sum(slots.values())
+        per_substep = total / args.substeps
+        # one kernel program = LANE_TILE envs x `substeps` physics substeps
+        env_rate = args.clock_ghz * 1e9 / total * MK.LANE_TILE * args.substeps / 10
+        print(f"\nestimated VPU issue slots: {total:.0f} total, "
+              f"{per_substep:.0f}/substep (@{MK.LANE_TILE} envs)")
+        print(f"speed-of-light (issue-bound, {args.clock_ghz} GHz): "
+              f"{env_rate:,.0f} env steps/s/chip (10 substeps/env step)")
+        for name, n in slots.most_common(args.top):
+            print(f"  {name:24s} {n:.0f}")
 
 
 if __name__ == "__main__":
