@@ -29,8 +29,12 @@ def test_graft_entry_single():
     sys.path.insert(0, REPO)
     import __graft_entry__ as G
 
+    from open_duck_playground_tpu.physics.megakernel import LANE_TILE
+
     fn, args = G.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out.reward)
-    assert out.reward.shape == (64,)
+    # batch = LANE_TILE so the driver's compile artifact exercises the
+    # production Pallas kernel path, not the jnp fallback
+    assert out.reward.shape == (LANE_TILE,)
     assert np.isfinite(np.asarray(out.reward)).all()
