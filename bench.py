@@ -4,7 +4,10 @@ accelerator.
 North-star metric (BASELINE.md): env steps/sec/chip at 4096 envs on the
 joystick flat_terrain_backlash task (full pipeline: 10 physics substeps +
 collision + Newton solve + obs/reward assembly per env step), with per-env
-domain-randomized models, exactly as training rolls out. Baseline target:
+domain-randomized models, and the policy network in the loop (obs
+normalization + actor MLP forward + tanh-Normal sampling at the pinned
+config sizes) — per-step compute identical to the training rollout; only
+GAE/SGD (which run per-epoch, not per-step) are excluded. Baseline target:
 2,000,000 env steps/s on a v5p-8 => 250,000 steps/s/chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -30,6 +33,11 @@ def main():
     from open_duck_playground_tpu.envs.joystick import Joystick
     from open_duck_playground_tpu.envs.randomize import domain_randomize
     from open_duck_playground_tpu.envs.wrappers import TrainingEnv
+    from open_duck_playground_tpu.train import (
+        config as TC,
+        networks as N,
+        running_stats as RS,
+    )
 
     env = Joystick(task="flat_terrain_backlash")
     rng = jax.random.PRNGKey(0)
@@ -43,14 +51,26 @@ def main():
     keys = jax.random.split(rng, NUM_ENVS)
     state = jax.jit(wrapped.reset)(keys)
 
+    # the training policy at the pinned config sizes (randomly initialized —
+    # throughput is weight-independent)
+    cfg = TC.ppo_config()
+    obs_sizes = {k: v.shape[-1] for k, v in state.obs.items()}
+    net = N.PPONetworks(
+        obs_sizes,
+        env.action_size,
+        tuple(cfg.network_factory.policy_hidden_layer_sizes),
+        tuple(cfg.network_factory.value_hidden_layer_sizes),
+    )
+    params = net.init(jax.random.PRNGKey(2))
+    normalizer = RS.init(obs_sizes)
+
     @jax.jit
     def rollout(state, key):
         def body(carry, _):
             s, k = carry
             k, ak = jax.random.split(k)
-            action = jax.random.uniform(
-                ak, (NUM_ENVS, env.action_size), minval=-1.0, maxval=1.0
-            )
+            logits = net.policy_logits(params, RS.normalize(normalizer, s.obs))
+            action = N.postprocess(N.sample_raw(ak, logits))
             return (wrapped.step(s, action), k), ()
 
         (state, key), _ = jax.lax.scan(body, (state, key), None, length=STEPS)
