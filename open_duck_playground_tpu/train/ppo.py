@@ -434,24 +434,47 @@ def train(
     # identical reset states and noise streams.
     eval_rng = jax.random.PRNGKey(seed + 1000)
 
-    def do_eval_and_hooks(ts):
-        nonlocal all_metrics, eval_rng
+    # Eval/hook pipelining: per eval period the HOST work (TensorBoard
+    # writes, orbax checkpoint, ONNX export in policy_params_fn) runs while
+    # the DEVICE computes the *next* epoch's chunks. stage_eval_and_hooks
+    # enqueues the eval computation (device, FIFO ahead of the next chunks)
+    # and snapshots the training state to host BEFORE the next epoch_fn call
+    # donates those buffers; flush_pending then does the host-side work
+    # after the next chunks have been dispatched. Serialized host time per
+    # eval drops to two small transfers (params + eval scalars).
+    pending = None  # (step, metrics, eval_future, variables_host, state_host)
+
+    def stage_eval_and_hooks(ts):
+        nonlocal pending, eval_rng
         variables = (ts.normalizer, ts.params)
-        metrics = dict(all_metrics)
+        eval_future = None
         if evaluator is not None:
             eval_rng, rng_eval = jax.random.split(eval_rng)
-            metrics.update(jax.device_get(evaluator(variables, rng_eval)))
-        progress_fn(current_step, metrics)
-        policy_params_fn(
+            eval_future = evaluator(variables, rng_eval)
+        pending = (
             current_step,
-            make_policy,
+            dict(all_metrics),
+            eval_future,
             jax.device_get(variables),
-            full_state=jax.device_get((ts, epoch_key)),
+            jax.device_get((ts, epoch_key)),
+        )
+
+    def flush_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        step, metrics, eval_future, variables_host, state_host = pending
+        pending = None
+        if eval_future is not None:
+            metrics.update(jax.device_get(eval_future))
+        progress_fn(step, metrics)
+        policy_params_fn(
+            step, make_policy, variables_host, full_state=state_host
         )
 
     # eval before any training (brax does an initial eval when num_evals > 1)
     if num_evals > 1:
-        do_eval_and_hooks(training_state)
+        stage_eval_and_hooks(training_state)
 
     while current_step < num_timesteps:
         t0 = time.monotonic()
@@ -461,6 +484,7 @@ def train(
                 training_state, env_state, epoch_key
             )
             chunk_metrics.append(metrics)
+        flush_pending()  # previous period's host work, overlapped
         # mean over chunks so the logged epoch metrics cover the whole
         # per-eval period, not just the last jitted chunk
         metrics = jax.device_get(
@@ -471,7 +495,8 @@ def train(
         sps = chunk_steps * n_chunks * steps_per_training_step / dt
         all_metrics = {f"training/{k}": float(v) for k, v in metrics.items()}
         all_metrics["training/sps"] = sps
-        do_eval_and_hooks(training_state)
+        stage_eval_and_hooks(training_state)
 
+    flush_pending()
     variables = jax.device_get((training_state.normalizer, training_state.params))
     return make_policy, variables, all_metrics
