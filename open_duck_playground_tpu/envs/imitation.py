@@ -20,6 +20,18 @@ _W_JOINT_POS = 15.0
 _W_JOINT_VEL = 1.0e-3
 _W_CONTACT = 1.0
 
+# The gait library was authored for the FULL robot, whose balanced stance is
+# the flat-terrain "home" keyframe (leg slice below, scene_flat_terrain.xml
+# keyframe). Robot variants with a different mass distribution re-balance
+# their home keyframe (e.g. no-head: hip_pitch -0.63 -> -0.58); their gait
+# targets must be retargeted by the home-pose delta or the W_JOINT_POS pull
+# drags the robot toward a stance that tips it over (the observed stand-still
+# local optimum on the no-head build).
+GAIT_HOME_LEGS = jnp.array(
+    [0.002, 0.053, -0.63, 1.368, -0.784, -0.003, -0.065, 0.635, 1.379, -0.796],
+    jnp.float32,
+)
+
 
 def imitation_reward(
     base_qvel,
@@ -29,7 +41,10 @@ def imitation_reward(
     ref_frame,
     cmd,
     enabled: bool = True,
+    ref_jpos_offset=None,
 ):
+    """`ref_jpos_offset` (10-dim legs order, or None): additive retarget of
+    the reference joint positions, = variant home pose − GAIT_HOME_LEGS."""
     if not enabled:
         return jnp.nan_to_num(0.0)
 
@@ -48,9 +63,10 @@ def imitation_reward(
     r += _W_LIN_Z * jnp.exp(-8.0 * jnp.square(lin[2] - ref_lin[2]))
     r += _W_ANG_XY * jnp.exp(-2.0 * jnp.sum(jnp.square(ang[:2] - ref_ang[:2])))
     r += _W_ANG_Z * jnp.exp(-2.0 * jnp.square(ang[2] - ref_ang[2]))
-    r -= _W_JOINT_POS * jnp.sum(
-        jnp.square(robot_legs(joints_qpos) - legs(ref_frame[0:16]))
-    )
+    ref_jpos = legs(ref_frame[0:16])
+    if ref_jpos_offset is not None:
+        ref_jpos = ref_jpos + ref_jpos_offset
+    r -= _W_JOINT_POS * jnp.sum(jnp.square(robot_legs(joints_qpos) - ref_jpos))
     r -= _W_JOINT_VEL * jnp.sum(
         jnp.square(robot_legs(joints_qvel) - legs(ref_frame[16:32]))
     )

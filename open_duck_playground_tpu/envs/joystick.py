@@ -129,6 +129,15 @@ class Joystick(DuckEnv):
         self.gait = (
             GaitOracle(str(duck_base.GAIT_PKL)) if self.use_imitation else None
         )
+        # Retarget the gait library's joint targets onto this variant's
+        # balanced stance (no-head: hip_pitch -0.63 -> -0.58); zero for the
+        # full robot, whose home keyframe IS the library's authored stance.
+        if self.use_imitation and mj.nu == 10:
+            self._imitation_ref_offset = (
+                jnp.asarray(mj.key_ctrl[0], jnp.float32) - imitation.GAIT_HOME_LEGS
+            )
+        else:
+            self._imitation_ref_offset = None
 
         lowers, uppers = mj.jnt_range[1:].T
         c = (lowers + uppers) / 2
@@ -473,6 +482,7 @@ class Joystick(DuckEnv):
                 info["current_reference_motion"],
                 info["command"],
                 self.use_imitation,
+                ref_jpos_offset=self._imitation_ref_offset,
             ),
             "stand_still": R.stand_still(
                 info["command"],

@@ -158,12 +158,19 @@ def imitation_reward(
     ref_frame,
     cmd,
     enabled: bool = True,
+    ref_jpos_offset=None,
 ):
+    """`ref_jpos_offset`: additive retarget of the reference joint targets
+    for robot variants whose balanced stance differs from the gait library's
+    authored home pose (see envs/imitation.py:GAIT_HOME_LEGS)."""
     if not enabled:
         return np.float32(0.0)
 
     legs = lambda x16: np.concatenate([x16[:5], x16[11:]])
-    robot_legs = lambda x14: np.concatenate([x14[:5], x14[9:]])
+    if np.asarray(joints_qpos).shape[-1] == 10:  # no-head: all joints legs
+        robot_legs = lambda x10: x10
+    else:
+        robot_legs = lambda x14: np.concatenate([x14[:5], x14[9:]])
 
     lin = base_qvel[:3]
     ang = base_qvel[3:6]
@@ -174,9 +181,10 @@ def imitation_reward(
     r += _W_LIN_Z * np.exp(-8.0 * np.square(lin[2] - ref_lin[2]))
     r += _W_ANG_XY * np.exp(-2.0 * np.sum(np.square(ang[:2] - ref_ang[:2])))
     r += _W_ANG_Z * np.exp(-2.0 * np.square(ang[2] - ref_ang[2]))
-    r -= _W_JOINT_POS * np.sum(
-        np.square(robot_legs(joints_qpos) - legs(ref_frame[0:16]))
-    )
+    ref_jpos = legs(ref_frame[0:16])
+    if ref_jpos_offset is not None:
+        ref_jpos = ref_jpos + np.asarray(ref_jpos_offset)
+    r -= _W_JOINT_POS * np.sum(np.square(robot_legs(joints_qpos) - ref_jpos))
     r -= _W_JOINT_VEL * np.sum(
         np.square(robot_legs(joints_qvel) - legs(ref_frame[16:32]))
     )

@@ -156,6 +156,18 @@ def test_numpy_reward_mirrors_match_jax():
     b = np.asarray(RN.imitation_reward(base_qvel, jq, jv, contacts, ref_frame, cmd))
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
+    # no-head (10-joint) path with a retargeted reference (gait-library home
+    # pose offset, envs/imitation.py:GAIT_HOME_LEGS)
+    jq10, jv10, off10 = f(10), f(10), f(10) * 0.05
+    a = np.asarray(imitation.imitation_reward(
+        jnp.asarray(base_qvel), jnp.asarray(jq10), jnp.asarray(jv10),
+        jnp.asarray(contacts), jnp.asarray(ref_frame), jnp.asarray(cmd),
+        ref_jpos_offset=jnp.asarray(off10)))
+    b = np.asarray(RN.imitation_reward(
+        base_qvel, jq10, jv10, contacts, ref_frame, cmd,
+        ref_jpos_offset=off10))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
 
 def test_passive_stand_all_scenes():
     """With the home keyframe + position servos and NO policy, the duck must
