@@ -2,9 +2,11 @@
 mode.
 
 The authoritative check is tests/test_megakernel_tpu.py (real chip, 10
-substeps, 3 rounds). This is its TPU-less counterpart for when the chip or
-tunnel is unavailable: one lane tile, 2 substeps, eager interpret execution
-(~2 min/scene, compile-dominated). Opt-in because of that cost:
+substeps, 3 rounds). This is its TPU-less counterpart so the kernel stays
+CPU-verifiable in every default test run: one lane tile, 2 substeps, eager
+interpret execution. The flat-terrain scene runs ALWAYS (the default suite
+must never leave the production kernel untested on CPU-only hosts); the
+slower heightfield scene is opt-in:
 
     ODPT_INTERPRET_TESTS=1 python -m pytest tests/test_megakernel_interpret.py
 
@@ -25,22 +27,22 @@ from open_duck_playground_tpu.models import loader
 from open_duck_playground_tpu.physics import forward as F
 from open_duck_playground_tpu.physics import megakernel as MK
 
-pytestmark = pytest.mark.skipif(
+_OPT_IN = pytest.mark.skipif(
     not os.environ.get("ODPT_INTERPRET_TESTS"),
     reason="slow interpret-mode kernel check; set ODPT_INTERPRET_TESTS=1",
 )
 
 
-@pytest.mark.parametrize("pack", [False, True], ids=["unpacked", "packed"])
 @pytest.mark.parametrize(
     "scene",
-    ["scene_flat_terrain_backlash.xml", "scene_rough_terrain_backlash.xml"],
+    [
+        "scene_flat_terrain_backlash.xml",
+        pytest.param("scene_rough_terrain_backlash.xml", marks=_OPT_IN),
+    ],
 )
-def test_megakernel_interpret_matches_engine(scene, pack):
+def test_megakernel_interpret_matches_engine(scene):
     old = MK.INTERPRET
-    old_pack = (MK.PACK_FK, MK.PACK_NEWTON, MK.PACK_SENSORS)
     MK.INTERPRET = True
-    MK.PACK_FK = MK.PACK_NEWTON = MK.PACK_SENSORS = pack
     try:
         m, mj = loader.load_model(
             str(duck_base.XML_DIR / scene), timestep=0.002
@@ -79,4 +81,3 @@ def test_megakernel_interpret_matches_engine(scene, pack):
             assert float(per_env.max()) < max_tol, (scene, f)
     finally:
         MK.INTERPRET = old
-        MK.PACK_FK, MK.PACK_NEWTON, MK.PACK_SENSORS = old_pack

@@ -46,13 +46,24 @@ def test_fresh_export_is_standards_valid():
 
 
 def test_shipped_artifacts_are_standards_valid():
+    """Validates BYTES ON DISK, not a fresh in-process export: the committed
+    fixture (tests/fixtures/duck_policy_fixture.onnx, real policy shape
+    obs=101/act=14) pins the wire format across encoder changes — if the
+    encoder's output drifts, the fresh-export test keeps passing while this
+    one catches old shipped artifacts becoming unreadable claims. Any local
+    training outputs under runs/ are validated too when present (never a
+    skip: the fixture leg always runs)."""
     import glob
     import pathlib
 
     repo = pathlib.Path(__file__).resolve().parent.parent
+    fixture = repo / "tests" / "fixtures" / "duck_policy_fixture.onnx"
+    info = V.validate_file(str(fixture))
+    assert info["opset"] == 11
+    assert info["inputs"] == {"obs": (1, 101)}
+    assert info["outputs"] == {"continuous_actions": (1, 14)}
+
     paths = sorted(glob.glob(str(repo / "runs" / "**" / "*.onnx"), recursive=True))
-    if not paths:
-        pytest.skip("no shipped .onnx artifacts in runs/")
     for p in paths[-3:]:
         info = V.validate_file(p)
         assert info["opset"] == 11
