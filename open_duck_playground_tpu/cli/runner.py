@@ -22,16 +22,34 @@ from open_duck_playground_tpu.train.config import ppo_config
 ENVS = {"joystick": None, "standing": None}  # resolved lazily (heavy imports)
 
 
-def build_env(name: str, task: str):
+def build_env(name: str, task: str, config_overrides=None):
     if name == "joystick":
         from open_duck_playground_tpu.envs.joystick import Joystick
 
-        return Joystick(task=task)
+        return Joystick(task=task, config_overrides=config_overrides)
     if name == "standing":
         from open_duck_playground_tpu.envs.standing import Standing
 
-        return Standing(task=task)
+        return Standing(task=task, config_overrides=config_overrides)
     raise ValueError(f"unknown env {name!r}; choose from {sorted(ENVS)}")
+
+
+def parse_overrides(pairs):
+    """--config_override dotted.key=value pairs -> flattened-dict overrides
+    for ConfigDict.update_from_flattened_dict (the same plumbing the task
+    constructors expose, reference joystick.py:112-118)."""
+    import ast
+
+    out = {}
+    for pair in pairs or []:
+        key, _, val = pair.partition("=")
+        if not _:
+            raise ValueError(f"--config_override needs key=value, got {pair!r}")
+        try:
+            out[key] = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            out[key] = val  # plain string
+    return out or None
 
 
 class Runner:
@@ -54,8 +72,9 @@ class Runner:
         except ImportError:  # pragma: no cover
             self.writer = None
 
-        self.env = build_env(args.env, args.task)
-        self.eval_env = build_env(args.env, args.task)
+        overrides = parse_overrides(getattr(args, "config_override", None))
+        self.env = build_env(args.env, args.task, overrides)
+        self.eval_env = build_env(args.env, args.task, overrides)
         from open_duck_playground_tpu.envs.randomize import domain_randomize
 
         self.randomizer = domain_randomize
@@ -162,6 +181,15 @@ def main(argv=None) -> None:
         ],
     )
     parser.add_argument("--restore_checkpoint_path", type=str, default=None)
+    parser.add_argument(
+        "--config_override",
+        action="append",
+        default=None,
+        metavar="KEY=VALUE",
+        help="env-config override as a flattened dotted key, repeatable "
+        "(e.g. --config_override push_config.magnitude_range=[0.1,0.5] "
+        "--config_override reward_config.scales.tracking_lin_vel=4.0)",
+    )
     parser.add_argument(
         "--max_env_steps_per_jit",
         type=int,

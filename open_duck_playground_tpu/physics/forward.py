@@ -154,8 +154,9 @@ def _megakernel_cv(n_substeps: int):
     @f.def_vmap
     def rule(axis_size, in_batched, m, d, ctrl):
         m_b, d_b, ctrl_b = in_batched
-        if axis_size % MK.LANE_TILE == 0:
-            out = MK.megakernel_step_batched(m, d, ctrl, n_substeps)
+        tile = MK.pick_tile(axis_size)
+        if tile is not None:
+            out = MK.megakernel_step_batched(m, d, ctrl, n_substeps, tile)
         else:  # non-tile-aligned batch: vmapped jnp fallback
             m_axes = jax.tree.map(lambda b: 0 if b else None, m_b)
             out = jax.vmap(

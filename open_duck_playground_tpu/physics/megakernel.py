@@ -25,7 +25,7 @@ reference implementation and the CPU/odd-batch fallback.
 from __future__ import annotations
 
 import os
-from typing import List
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -88,10 +88,32 @@ def _vmem_limit_bytes() -> int:
 
 
 # ---------------------------------------------------------------- lane math
+# The env tail of every per-env array is either (T,) (lane tile, classic) or
+# (S, L) (sublane x lane tile — 8x denser VPU datapath use). `_TAILND` is the
+# tail's ndim; the kernel closure sets it at trace time (builds never
+# interleave). Component axes of quaternions/vectors sit just ahead of the
+# tail, at axis -(1 + _TAILND).
+_TAILND = 1
+
+
+def _cax() -> int:
+    return -1 - _TAILND
+
+
+def comp(x, k: int):
+    """Component k along the axis just ahead of the env tail."""
+    return jax.lax.index_in_dim(x, k, axis=x.ndim + _cax(), keepdims=False)
+
+
+def comps(x, lo: int, hi: int):
+    """Slice [lo:hi] along the component axis (keeps the axis)."""
+    return jax.lax.slice_in_dim(x, lo, hi, axis=x.ndim + _cax())
+
+
 def lquat_mul(a, b):
-    """(…,4,T) x (…,4,T) -> (…,4,T)."""
-    aw, ax, ay, az = a[..., 0, :], a[..., 1, :], a[..., 2, :], a[..., 3, :]
-    bw, bx, by, bz = b[..., 0, :], b[..., 1, :], b[..., 2, :], b[..., 3, :]
+    """(…,4,tail) x (…,4,tail) -> (…,4,tail)."""
+    aw, ax, ay, az = (comp(a, k) for k in range(4))
+    bw, bx, by, bz = (comp(b, k) for k in range(4))
     return jnp.stack(
         [
             aw * bw - ax * bx - ay * by - az * bz,
@@ -99,29 +121,30 @@ def lquat_mul(a, b):
             aw * by - ax * bz + ay * bw + az * bx,
             aw * bz + ax * by - ay * bx + az * bw,
         ],
-        axis=-2,
+        axis=_cax(),
     )
 
 
 def lcross(a, b):
-    """(…,3,T) x (…,3,T) -> (…,3,T)."""
-    a0, a1, a2 = a[..., 0, :], a[..., 1, :], a[..., 2, :]
-    b0, b1, b2 = b[..., 0, :], b[..., 1, :], b[..., 2, :]
+    """(…,3,tail) x (…,3,tail) -> (…,3,tail)."""
+    a0, a1, a2 = (comp(a, k) for k in range(3))
+    b0, b1, b2 = (comp(b, k) for k in range(3))
     return jnp.stack(
-        [a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0], axis=-2
+        [a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0],
+        axis=_cax(),
     )
 
 
 def lquat_rotate(q, v):
-    """Rotate (…,3,T) by quaternion (…,4,T)."""
-    w = q[..., :1, :]
-    u = q[..., 1:, :]
+    """Rotate (…,3,tail) by quaternion (…,4,tail)."""
+    w = comps(q, 0, 1)
+    u = comps(q, 1, 4)
     uv = lcross(u, v)
     return v + 2.0 * (w * uv + lcross(u, uv))
 
 
 def lquat_normalize(q):
-    return q * jax.lax.rsqrt(jnp.sum(q * q, axis=-2, keepdims=True))
+    return q * jax.lax.rsqrt(jnp.sum(q * q, axis=_cax(), keepdims=True))
 
 
 def lquat_mul_constq(a, bq):
@@ -216,8 +239,15 @@ def _kb(solref, solimp):
 
 
 # ------------------------------------------------------------ kernel builder
-def _build_kernel(m: Model, n_substeps: int):
+def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
     s = m.spec
+    # Env-tail geometry: tile envs per grid program, laid out as SUB sublane
+    # rows x 128 lanes when tile > 128 (f32's native (8,128) vreg tile; a
+    # 1-sublane op wastes 7/8 of the VPU datapath) or as a classic 1-D lane
+    # tile when tile == 128. E1 broadcasts a tail-less constant over the tail.
+    assert tile % 128 == 0 and 1 <= tile // 128 <= 8, tile
+    SUB = tile // 128
+    E1 = (1,) if SUB == 1 else (1, 1)
     nq, nv, nu, nbody, njnt = s.nq, s.nv, s.nu, s.nbody, s.njnt
     IS_HFIELD = s.floor_is_hfield
 
@@ -437,15 +467,17 @@ def _build_kernel(m: Model, n_substeps: int):
         adr += dim
 
     CONSTS = dict(
-        foot_hull=g(m.foot_hull).reshape(nfoot * nvert, 3),
+        # E1 dims applied in numpy: a trace-level reshape of a loaded ref
+        # (vector<nvert x 3> -> <nvert x 3 x 1 x 1>) is an unsupported
+        # Mosaic shape cast when the env tail is 2-D (sublane x lane)
+        foot_hull=g(m.foot_hull).reshape(nfoot * nvert, 3, *E1),
         anc_mask=anc_np,
-        anc_mask11=anc_np.reshape(nbody, nv, 1, 1),
         pred_mask=structure.dof_pred_mask(s).astype(np.float32),
-        ftm=structure.free_trans_mask(s).astype(np.float32).reshape(nv, 1, 1),
-        eye_nv1=np.eye(nv, dtype=np.float32).reshape(nv, nv, 1),
+        ftm=structure.free_trans_mask(s).astype(np.float32).reshape(nv, 1, *E1),
+        eye_nv1=np.eye(nv, dtype=np.float32).reshape(nv, nv, *E1),
         desc_mask=desc_np,
-        dofpair1=dofpair_np.reshape(nv, nv, 1),
-        body_inertia3=body_inertia.reshape(nbody, 1, 3, 1),
+        dofpair1=dofpair_np.reshape(nv, nv, *E1),
+        body_inertia3=body_inertia.reshape(nbody, 1, 3, *E1),
         # desc_mask rows re-indexed per dof: (sel @ desc) folds the
         # subtree-sum matmul and the dof->body gather-stack into ONE
         # (nv,nbody) mask_dot (the per-body subtree intermediates were
@@ -483,7 +515,9 @@ def _build_kernel(m: Model, n_substeps: int):
         body_ipos = ipos_ref[:]
         floor_mu = mu_ref[0]
 
-        T = qpos_ref.shape[-1]
+        global _TAILND
+        tail = tuple(qpos_ref.shape[1:])
+        _TAILND = len(tail)
         f32 = jnp.float32
         anc = C["anc_mask"]
 
@@ -564,10 +598,10 @@ def _build_kernel(m: Model, n_substeps: int):
             )
             com = (
                 sum(
-                    body_mass[b][None, :] * float(in_tree[b]) * xipos[b]
+                    body_mass[b][None] * float(in_tree[b]) * xipos[b]
                     for b in range(nbody)
                 )
-                * (1.0 / total_mass)[None, :]
+                * (1.0 / total_mass)[None]
             )
 
             cdof_list: List = [None] * nv
@@ -589,7 +623,7 @@ def _build_kernel(m: Model, n_substeps: int):
                     )
                 rb = lquat_to_mat(xquat[b])
                 for i in range(3):
-                    axis = rb[:, i, :]
+                    axis = rb[:, i]
                     lin = lcross(axis, com - xanchor[free_j])
                     cdof_list[d_ + 3 + i] = jnp.concatenate(
                         [axis, lin], axis=0
@@ -597,18 +631,21 @@ def _build_kernel(m: Model, n_substeps: int):
             cdof = jnp.stack(cdof_list, axis=0)  # (nv,6,T)
 
             # ----- velocities
-            vdof = cdof * qvel[:, None, :]
+            vdof = cdof * qvel[:, None]
 
             def mask_dot(mask, x):
-                c_, d_, t_ = x.shape
-                y = jnp.dot(mask, x.reshape(c_, d_ * t_), preferred_element_type=f32,
+                c_, rest = x.shape[0], x.shape[1:]
+                flat = 1
+                for r_ in rest:
+                    flat *= r_
+                y = jnp.dot(mask, x.reshape(c_, flat), preferred_element_type=f32,
                             precision=jax.lax.Precision.HIGHEST)
-                return y.reshape(mask.shape[0], d_, t_)
+                return y.reshape((mask.shape[0],) + rest)
 
             cvel = mask_dot(anc, vdof)
             carrier = mask_dot(C["pred_mask"], vdof)
-            cw, cv = carrier[:, :3, :], carrier[:, 3:, :]
-            dw, dv = cdof[:, :3, :], cdof[:, 3:, :]
+            cw, cv = carrier[:, :3], carrier[:, 3:]
+            dw, dv = cdof[:, :3], cdof[:, 3:]
             cdof_dot = (
                 jnp.concatenate(
                     [lcross(cw, dw), lcross(cw, dv) + lcross(cv, dw)], axis=1
@@ -617,8 +654,8 @@ def _build_kernel(m: Model, n_substeps: int):
             )
 
             # ----- inertias: mass matrix + rne accumulations
-            M = C["eye_nv1"] * armature[:, None, :]
-            vdofdot = cdof_dot * qvel[:, None, :]
+            M = C["eye_nv1"] * armature[:, None]
+            vdofdot = cdof_dot * qvel[:, None]
             gx, gy, gz = gravity
             grav = jnp.stack(
                 [zeroT, zeroT, zeroT, -gx * oneT, -gy * oneT, -gz * oneT], axis=0
@@ -631,11 +668,11 @@ def _build_kernel(m: Model, n_substeps: int):
             ximat_st = jnp.stack(ximat, 0)  # (nbody,3,3,T)
             RI = ximat_st * C["body_inertia3"]  # R[b,i,k] * I[b,k]
             ricr = sum(
-                RI[:, :, k, :][:, :, None, :] * ximat_st[:, :, k, :][:, None, :, :]
+                RI[:, :, k][:, :, None] * ximat_st[:, :, k][:, None]
                 for k in range(3)
             )  # (nbody,3,3,T): R I R^T
             c = xipos_st - com[None]  # (nbody,3,T)
-            c0, c1, c2 = c[:, 0, :], c[:, 1, :], c[:, 2, :]
+            c0, c1, c2 = c[:, 0], c[:, 1], c[:, 2]
             zb = 0.0 * c0
             cx = jnp.stack(
                 [
@@ -646,10 +683,10 @@ def _build_kernel(m: Model, n_substeps: int):
                 axis=1,
             )  # (nbody,3,3,T)
             cxcxT = sum(
-                cx[:, :, k, :][:, :, None, :] * cx[:, :, k, :][:, None, :, :]
+                cx[:, :, k][:, :, None] * cx[:, :, k][:, None]
                 for k in range(3)
             )
-            mN = body_mass[:, None, None, :]
+            mN = body_mass[:, None, None]
             # spatial inertia in 3x3 blocks [[TL, TR], [TR^T, m·I]]: the
             # (nbody,6,6,T) stack is never concatenated — the lower-left
             # block is TR contracted along the other axis and the
@@ -659,12 +696,12 @@ def _build_kernel(m: Model, n_substeps: int):
 
             def ib_apply(w3, v3):
                 # [[TL,TR],[TR^T,m·I]] @ [w3; v3] without materializing 6x6
-                top = jnp.sum(ib_tl * w3[:, None, :, :], axis=2) + jnp.sum(
-                    ib_tr * v3[:, None, :, :], axis=2
+                top = jnp.sum(ib_tl * w3[:, None], axis=2) + jnp.sum(
+                    ib_tr * v3[:, None], axis=2
                 )
                 bot = (
-                    jnp.sum(ib_tr * w3[:, :, None, :], axis=1)
-                    + body_mass[:, None, :] * v3
+                    jnp.sum(ib_tr * w3[:, :, None], axis=1)
+                    + body_mass[:, None] * v3
                 )
                 return top, bot
 
@@ -672,8 +709,8 @@ def _build_kernel(m: Model, n_substeps: int):
             # qfrc_bias_i = cdof_i . (subtree sum of f at body(i)) — the
             # subtree reduction is one descendant-mask MXU matmul.
             acc_all = grav[None] + cacc_dofsum  # (nbody,6,T)
-            vang, vlin = cvel[:, :3, :], cvel[:, 3:, :]
-            ia_top, ia_bot = ib_apply(acc_all[:, :3, :], acc_all[:, 3:, :])
+            vang, vlin = cvel[:, :3], cvel[:, 3:]
+            ia_top, ia_bot = ib_apply(acc_all[:, :3], acc_all[:, 3:])
             ftor, flin = ib_apply(vang, vlin)
             # torque/force halves kept separate end-to-end (two (nbody,3,T)
             # mask_dots instead of one (nbody,6,T)): same MXU FLOPs, no
@@ -696,29 +733,29 @@ def _build_kernel(m: Model, n_substeps: int):
             # composite inertias per 3x3 block (lower-left = TR^T, lower-
             # right = subtree-mass diagonal — both free given TL/TR/msub)
             tl_dof = mask_dot(
-                C["dofsub_mask"], ib_tl.reshape(nbody, 9, T)
-            ).reshape(nv, 3, 3, T)
+                C["dofsub_mask"], ib_tl.reshape(nbody, 9, *tail)
+            ).reshape(nv, 3, 3, *tail)
             tr_dof = mask_dot(
-                C["dofsub_mask"], ib_tr.reshape(nbody, 9, T)
-            ).reshape(nv, 3, 3, T)
-            ms_dof = mask_dot(C["dofsub_mask"], body_mass[:, None, :])[:, 0, :]
-            cdw = cdof[:, :3, :]
-            cdv = cdof[:, 3:, :]
-            fC_top = jnp.sum(tl_dof * cdw[:, None, :, :], axis=2) + jnp.sum(
-                tr_dof * cdv[:, None, :, :], axis=2
+                C["dofsub_mask"], ib_tr.reshape(nbody, 9, *tail)
+            ).reshape(nv, 3, 3, *tail)
+            ms_dof = mask_dot(C["dofsub_mask"], body_mass[:, None])[:, 0]
+            cdw = cdof[:, :3]
+            cdv = cdof[:, 3:]
+            fC_top = jnp.sum(tl_dof * cdw[:, None], axis=2) + jnp.sum(
+                tr_dof * cdv[:, None], axis=2
             )
             fC_bot = (
-                jnp.sum(tr_dof * cdw[:, :, None, :], axis=1)
-                + ms_dof[:, None, :] * cdv
+                jnp.sum(tr_dof * cdw[:, :, None], axis=1)
+                + ms_dof[:, None] * cdv
             )
             # fC stays in (torque, force) halves — the k-indexed accumulations
             # below address the halves directly, so the (nv,6,T) concat copy
             # never exists
             def fC_k(k):
-                return fC_top[:, k, :] if k < 3 else fC_bot[:, k - 3, :]
+                return fC_top[:, k] if k < 3 else fC_bot[:, k - 3]
 
             def cdof_k(k):
-                return dw[:, k, :] if k < 3 else dv[:, k - 3, :]
+                return dw[:, k] if k < 3 else dv[:, k - 3]
 
             mdiag = sum(fC_k(k) * cdof_k(k) for k in range(6))  # (nv,T)
             if USE_BLOCK:
@@ -728,31 +765,31 @@ def _build_kernel(m: Model, n_substeps: int):
                 eyeb = C["eye_nv1"]
 
                 def crba_diag_block(a_, e_):
-                    W = fC_k(0)[a_:e_][:, None, :] * cdof_k(0)[a_:e_][None, :, :]
+                    W = fC_k(0)[a_:e_][:, None] * cdof_k(0)[a_:e_][None]
                     for k in range(1, 6):
                         W = W + (
-                            fC_k(k)[a_:e_][:, None, :]
-                            * cdof_k(k)[a_:e_][None, :, :]
+                            fC_k(k)[a_:e_][:, None]
+                            * cdof_k(k)[a_:e_][None]
                         )
                     Wl = C["dofpair1"][a_:e_, a_:e_] * W
                     return (
-                        eyeb[a_:e_, a_:e_] * armature[a_:e_][:, None, :]
+                        eyeb[a_:e_, a_:e_] * armature[a_:e_][:, None]
                         + Wl
                         + jnp.swapaxes(Wl, 0, 1)
-                        - eyeb[a_:e_, a_:e_] * mdiag[a_:e_][:, None, :]
+                        - eyeb[a_:e_, a_:e_] * mdiag[a_:e_][:, None]
                     )
 
                 def crba_panel(a_, e_):
                     # chain dofs are strict descendants of every root dof:
                     # M[i, f] = (IC[body(i)] cdof_i) · cdof_f, full block
                     P = (
-                        fC_k(0)[a_:e_][:, None, :]
-                        * cdof_k(0)[FB[0] : FB[1]][None, :, :]
+                        fC_k(0)[a_:e_][:, None]
+                        * cdof_k(0)[FB[0] : FB[1]][None]
                     )
                     for k in range(1, 6):
                         P = P + (
-                            fC_k(k)[a_:e_][:, None, :]
-                            * cdof_k(k)[FB[0] : FB[1]][None, :, :]
+                            fC_k(k)[a_:e_][:, None]
+                            * cdof_k(k)[FB[0] : FB[1]][None]
                         )
                     return P
 
@@ -762,15 +799,15 @@ def _build_kernel(m: Model, n_substeps: int):
                     crba_diag_block(FB[0], FB[1]),
                 )
             else:
-                Mlow = fC_k(0)[:, None, :] * cdof_k(0)[None, :, :]
+                Mlow = fC_k(0)[:, None] * cdof_k(0)[None]
                 for k in range(1, 6):
-                    Mlow = Mlow + fC_k(k)[:, None, :] * cdof_k(k)[None, :, :]
+                    Mlow = Mlow + fC_k(k)[:, None] * cdof_k(k)[None]
                 Mlow = C["dofpair1"] * Mlow
                 M = (
                     M
                     + Mlow
                     + jnp.swapaxes(Mlow, 0, 1)
-                    - C["eye_nv1"] * mdiag[:, None, :]
+                    - C["eye_nv1"] * mdiag[:, None]
                 )
 
             # ----- passive + actuation
@@ -822,22 +859,22 @@ def _build_kernel(m: Model, n_substeps: int):
                 cols = []
                 rdiag: List = []
                 for kk in range(n):
-                    rpiv = jax.lax.rsqrt(jnp.maximum(rem[0, 0, :], 1e-12))
+                    rpiv = jax.lax.rsqrt(jnp.maximum(rem[0, 0], 1e-12))
                     rdiag.append(rpiv)
-                    col_t = rem[:, 0, :] * rpiv[None, :]  # (n-kk, T)
+                    col_t = rem[:, 0] * rpiv[None]  # (n-kk, T)
                     if kk:
                         cols.append(
                             jnp.concatenate(
-                                [jnp.zeros((kk, T), f32), col_t], axis=0
+                                [jnp.zeros((kk,) + tail, f32), col_t], axis=0
                             )
                         )
                     else:
                         cols.append(col_t)
                     if kk < n - 1:
-                        tail = col_t[1:]
+                        tcol = col_t[1:]
                         rem = (
-                            rem[1:, 1:, :]
-                            - tail[:, None, :] * tail[None, :, :]
+                            rem[1:, 1:]
+                            - tcol[:, None] * tcol[None]
                         )
                 return jnp.stack(cols, axis=1), jnp.stack(rdiag, axis=0)
 
@@ -851,7 +888,7 @@ def _build_kernel(m: Model, n_substeps: int):
                 for kk in range(n):
                     xk = (bb[kk] - acc[kk]) * rd[kk]
                     rows.append(xk)
-                    acc = acc + L[:, kk, :] * xk[None, :]
+                    acc = acc + L[:, kk] * xk[None]
                 return jnp.stack(rows, axis=0)
 
             def bwd_sub(fac, bb):
@@ -863,7 +900,7 @@ def _build_kernel(m: Model, n_substeps: int):
                 for kk in range(n - 1, -1, -1):
                     yk = (bb[kk] - acc2[kk]) * rd[kk]
                     rows2[kk] = yk
-                    acc2 = acc2 + L[kk, :, :] * yk[None, :]
+                    acc2 = acc2 + L[kk] * yk[None]
                 return jnp.stack(rows2, axis=0)
 
             def chol_solve(fac, bb):
@@ -876,9 +913,9 @@ def _build_kernel(m: Model, n_substeps: int):
                 rows: List = []
                 acc = 0.0 * Bp
                 for kk in range(n):
-                    xk = (Bp[kk] - acc[kk]) * rd[kk][None, :]
+                    xk = (Bp[kk] - acc[kk]) * rd[kk][None]
                     rows.append(xk)
-                    acc = acc + L[:, kk, :][:, None, :] * xk[None, :, :]
+                    acc = acc + L[:, kk][:, None] * xk[None]
                 return jnp.stack(rows, axis=0)
 
             def block_factor(Acc, Acf, Aff):
@@ -894,7 +931,7 @@ def _build_kernel(m: Model, n_substeps: int):
                     Lc = chol(Acc[ci])
                     Pc = fwd_panel(Lc, Acf[ci])  # (nc, nF, T)
                     for k in range(Pc.shape[0]):
-                        S = S - Pc[k][:, None, :] * Pc[k][None, :, :]
+                        S = S - Pc[k][:, None] * Pc[k][None]
                     Ls.append(Lc)
                     Ps.append(Pc)
                 return Ls, Ps, chol(S)
@@ -906,12 +943,12 @@ def _build_kernel(m: Model, n_substeps: int):
                 for ci, (a_, e_) in enumerate(CHAINS):
                     u = fwd_sub(Ls[ci], bb[a_:e_])
                     for k in range(u.shape[0]):
-                        bF = bF - Ps[ci][k] * u[k][None, :]
+                        bF = bF - Ps[ci][k] * u[k][None]
                     us.append(u)
                 xF = bwd_sub(LF, fwd_sub(LF, bF))
                 segs = [xF]
                 for ci in range(len(CHAINS)):
-                    w = us[ci] - jnp.sum(Ps[ci] * xF[None, :, :], axis=1)
+                    w = us[ci] - jnp.sum(Ps[ci] * xF[None], axis=1)
                     segs.append(bwd_sub(Ls[ci], w))
                 return jnp.concatenate(segs, axis=0)
 
@@ -922,7 +959,7 @@ def _build_kernel(m: Model, n_substeps: int):
                 def add_d(blk, a_, e_):
                     if hdiag is None:
                         return blk
-                    return blk + eye1[a_:e_, a_:e_] * hdiag[a_:e_][:, None, :]
+                    return blk + eye1[a_:e_, a_:e_] * hdiag[a_:e_][:, None]
 
                 Acc = [add_d(Mcc[ci3], a_, e_) for ci3, (a_, e_) in enumerate(CHAINS)]
                 return Acc, list(Mcf), add_d(Mff, FB[0], FB[1])
@@ -956,9 +993,9 @@ def _build_kernel(m: Model, n_substeps: int):
                 rg = lquat_rotate_constv(xquat[b], geom_pos_np[gid])
                 gp = xpos[b] if rg is None else xpos[b] + rg
                 gq = lquat_mul_constq(xquat[b], geom_quat_np[gid])
-                hull = C["foot_hull"][fi * nvert : (fi + 1) * nvert]  # (nvert,3)
+                hull = C["foot_hull"][fi * nvert : (fi + 1) * nvert]
                 verts = gp[None] + lquat_rotate(
-                    gq[None], hull[:, :, None] + 0.0 * gp[None]
+                    gq[None], hull + 0.0 * gp[None]
                 )
                 if IS_HFIELD:
                     # bilinear-triangle height under each vertex, from the
@@ -969,11 +1006,11 @@ def _build_kernel(m: Model, n_substeps: int):
                     ox = porig[2 * fi]
                     oy = porig[2 * fi + 1]
                     fx = jnp.clip(
-                        (verts[:, 0, :] - ox[None, :]) * (1.0 / hf["dxh"]),
+                        (verts[:, 0] - ox[None]) * (1.0 / hf["dxh"]),
                         0.0, PP - 1.001,
                     )
                     fy = jnp.clip(
-                        (verts[:, 1, :] - oy[None, :]) * (1.0 / hf["dyh"]),
+                        (verts[:, 1] - oy[None]) * (1.0 / hf["dyh"]),
                         0.0, PP - 1.001,
                     )
                     iw = fx.astype(jnp.int32)  # fx >= 0: trunc == floor
@@ -981,14 +1018,14 @@ def _build_kernel(m: Model, n_substeps: int):
                     u = fx - iw.astype(f32)
                     v = fy - jw.astype(f32)
                     iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (nvert, PP, T), 1
+                        jnp.int32, (nvert, PP) + tail, 1
                     )
-                    ohi = (iota == iw[:, None, :]).astype(f32)
-                    ohi1 = (iota == (iw + 1)[:, None, :]).astype(f32)
-                    ohj = (iota == jw[:, None, :]).astype(f32)
-                    ohj1 = (iota == (jw + 1)[:, None, :]).astype(f32)
-                    row0 = jnp.sum(ohj[:, :, None, :] * pf[None], axis=1)
-                    row1 = jnp.sum(ohj1[:, :, None, :] * pf[None], axis=1)
+                    ohi = (iota == iw[:, None]).astype(f32)
+                    ohi1 = (iota == (iw + 1)[:, None]).astype(f32)
+                    ohj = (iota == jw[:, None]).astype(f32)
+                    ohj1 = (iota == (jw + 1)[:, None]).astype(f32)
+                    row0 = jnp.sum(ohj[:, :, None] * pf[None], axis=1)
+                    row1 = jnp.sum(ohj1[:, :, None] * pf[None], axis=1)
                     z00 = jnp.sum(row0 * ohi, axis=1)
                     z10 = jnp.sum(row0 * ohi1, axis=1)
                     z01 = jnp.sum(row1 * ohi, axis=1)
@@ -1011,29 +1048,29 @@ def _build_kernel(m: Model, n_substeps: int):
                     )
                     ninv = jax.lax.rsqrt(nx * nx + ny * ny + 1.0)
                     vert_nrm = jnp.stack([nx * ninv, ny * ninv, ninv], axis=1)
-                    dvert = (verts[:, 2, :] - h) * ninv  # (vz-h) onto normal
+                    dvert = (verts[:, 2] - h) * ninv  # (vz-h) onto normal
                 else:
                     dvert = jnp.sum((verts - fb_pos[None]) * nrm[None], axis=1)
                 dmask = dvert
                 for _k in range(k_pts):
                     idx = jnp.argmin(dmask, axis=0)
                     oh = (
-                        jax.lax.broadcasted_iota(jnp.int32, (nvert, T), 0)
+                        jax.lax.broadcasted_iota(jnp.int32, (nvert,) + tail, 0)
                         == idx[None]
                     ).astype(f32)
                     dist_k = jnp.sum(oh * dvert, axis=0)
-                    vsel = jnp.sum(oh[:, None, :] * verts, axis=0)
+                    vsel = jnp.sum(oh[:, None] * verts, axis=0)
                     nrm_k = (
-                        jnp.sum(oh[:, None, :] * vert_nrm, axis=0)
+                        jnp.sum(oh[:, None] * vert_nrm, axis=0)
                         if IS_HFIELD
                         else nrm
                     )
-                    pos_k = vsel - 0.5 * dist_k[None, :] * nrm_k
+                    pos_k = vsel - 0.5 * dist_k[None] * nrm_k
                     con_dist.append(dist_k)
                     con_pos.append(pos_k)
                     con_foot.append(fi)
                     con_nrm.append(nrm_k)
-                    dmask = jnp.where(oh > 0, 1e9 + zeroT[None, :], dmask)
+                    dmask = jnp.where(oh > 0, 1e9 + zeroT[None], dmask)
             contact_dist = jnp.stack(con_dist, axis=0)
 
             ex = jnp.stack([oneT, zeroT, zeroT])
@@ -1041,7 +1078,7 @@ def _build_kernel(m: Model, n_substeps: int):
 
             def contact_frame(nrm_c):
                 """mju_makeFrame tangents for one contact normal (3,T)."""
-                use_x = (jnp.abs(nrm_c[0]) <= jnp.abs(nrm_c[1]))[None, :]
+                use_x = (jnp.abs(nrm_c[0]) <= jnp.abs(nrm_c[1]))[None]
                 ref_v = jnp.where(use_x, ex, ey)
                 t1 = lcross(nrm_c, ref_v)
                 t1 = t1 * jax.lax.rsqrt(jnp.sum(t1 * t1, axis=0, keepdims=True))
@@ -1106,7 +1143,7 @@ def _build_kernel(m: Model, n_substeps: int):
                     ca_, ce_ = CHAINS[chi]
                 for t_vec in (t1, t2):
                     for sgn in (1.0, -1.0):
-                        d_vec = nrm_c + sgn * mu[None, :] * t_vec
+                        d_vec = nrm_c + sgn * mu[None] * t_vec
                         m_vec = lcross(pc, d_vec)
 
                         def jpart(a2, e2, d_vec=d_vec, m_vec=m_vec):
@@ -1117,14 +1154,14 @@ def _build_kernel(m: Model, n_substeps: int):
                             )
                             msk = anc_np[b, a2:e2]
                             if not msk.all():  # static: zero non-ancestors
-                                out = out * msk.reshape(-1, 1)
+                                out = out * msk.reshape((-1,) + E1)
                             return out
 
                         if USE_BLOCK:
                             jFr = jnp.where(
-                                active[None, :], jpart(FB[0], FB[1]), 0.0
+                                active[None], jpart(FB[0], FB[1]), 0.0
                             )
-                            jCr = jnp.where(active[None, :], jpart(ca_, ce_), 0.0)
+                            jCr = jnp.where(active[None], jpart(ca_, ce_), 0.0)
                             vel = jnp.sum(
                                 jFr * qvel[FB[0] : FB[1]], axis=0
                             ) + jnp.sum(jCr * qvel[ca_:ce_], axis=0)
@@ -1133,7 +1170,7 @@ def _build_kernel(m: Model, n_substeps: int):
                             row_chain.append(chi)
                         else:
                             Jrow = jnp.where(
-                                active[None, :], jpart(0, nv), 0.0
+                                active[None], jpart(0, nv), 0.0
                             )
                             vel = jnp.sum(Jrow * qvel, axis=0)
                             J_rows.append(Jrow)
@@ -1157,7 +1194,7 @@ def _build_kernel(m: Model, n_substeps: int):
                 axis=0,
             )
             fric_sel = (
-                jax.lax.broadcasted_iota(jnp.int32, (nefc, 1), 0) < nfric
+                jax.lax.broadcasted_iota(jnp.int32, (nefc,) + E1, 0) < nfric
             ).astype(f32)
 
             # ----- Newton solve
@@ -1181,7 +1218,7 @@ def _build_kernel(m: Model, n_substeps: int):
                         axis=0,
                     )
                 else:
-                    con = jnp.sum(Jc * x[None, :, :], axis=1)
+                    con = jnp.sum(Jc * x[None], axis=1)
                 return jnp.concatenate([single, con], axis=0)
 
             def jtmul(y):
@@ -1190,38 +1227,38 @@ def _build_kernel(m: Model, n_substeps: int):
                     rows[sdofs[i]] = rows[sdofs[i]] + scoef[i] * y[i]
                 out = jnp.stack(rows, axis=0)
                 if USE_BLOCK:
-                    accF = jnp.zeros((FB[1] - FB[0], T), f32)
+                    accF = jnp.zeros((FB[1] - FB[0],) + tail, f32)
                     accC = [
-                        jnp.zeros((e_ - a_, T), f32) for a_, e_ in CHAINS
+                        jnp.zeros((e_ - a_,) + tail, f32) for a_, e_ in CHAINS
                     ]
                     for e in range(ncon * 4):
-                        yv = y[nsingle + e][None, :]
+                        yv = y[nsingle + e][None]
                         accF = accF + JF_rows[e] * yv
                         ci2 = row_chain[e]
                         accC[ci2] = accC[ci2] + JC_rows[e] * yv
                     return out + jnp.concatenate([accF] + accC, axis=0)
                 for e in range(ncon * 4):
-                    out = out + Jc[e] * y[nsingle + e][None, :]
+                    out = out + Jc[e] * y[nsingle + e][None]
                 return out
 
             def mmul(x):
                 if USE_BLOCK:
                     Mcc, Mcf, Mff = Mb
                     xF = x[FB[0] : FB[1]]
-                    yF = jnp.sum(Mff * xF[None, :, :], axis=1)
+                    yF = jnp.sum(Mff * xF[None], axis=1)
                     ys = []
                     for ci3, (a_, e_) in enumerate(CHAINS):
                         xc = x[a_:e_]
                         ys.append(
-                            jnp.sum(Mcc[ci3] * xc[None, :, :], axis=1)
-                            + jnp.sum(Mcf[ci3] * xF[None, :, :], axis=1)
+                            jnp.sum(Mcc[ci3] * xc[None], axis=1)
+                            + jnp.sum(Mcf[ci3] * xF[None], axis=1)
                         )
                         # panel^T contribution, unrolled (Mosaic lacks the
                         # 3D axis-0 reduction this would otherwise need)
                         for k in range(e_ - a_):
-                            yF = yF + Mcf[ci3][k] * xc[k][None, :]
+                            yF = yF + Mcf[ci3][k] * xc[k][None]
                     return jnp.concatenate([yF] + ys, axis=0)
-                return jnp.sum(M * x[None, :, :], axis=1)
+                return jnp.sum(M * x[None], axis=1)
 
             def force_hess(jar):
                 quad_f = Dv * jar
@@ -1245,7 +1282,7 @@ def _build_kernel(m: Model, n_substeps: int):
 
             c_w = cost(warm)
             c_s = cost(qacc_smooth)
-            x = jnp.where((c_w < c_s)[None, :], warm, qacc_smooth)
+            x = jnp.where((c_w < c_s)[None], warm, qacc_smooth)
 
             for _ in range(iterations):
                 jar = jmul(x) - aref
@@ -1269,16 +1306,16 @@ def _build_kernel(m: Model, n_substeps: int):
                         h = hh[nsingle + e]
                         jCh = JC_rows[e]
                         jF = JF_rows[e]
-                        hjC = h[None, :] * jCh
-                        Acc[ci] = Acc[ci] + hjC[:, None, :] * jCh[None, :, :]
-                        Acf[ci] = Acf[ci] + hjC[:, None, :] * jF[None, :, :]
-                        Aff = Aff + (h[None, :] * jF)[:, None, :] * jF[None, :, :]
+                        hjC = h[None] * jCh
+                        Acc[ci] = Acc[ci] + hjC[:, None] * jCh[None]
+                        Acf[ci] = Acf[ci] + hjC[:, None] * jF[None]
+                        Aff = Aff + (h[None] * jF)[:, None] * jF[None]
                     dxn = -block_solve(block_factor(Acc, Acf, Aff), grad)
                 else:
-                    H = M + C["eye_nv1"] * hdiag[:, None, :]
+                    H = M + C["eye_nv1"] * hdiag[:, None]
                     for e in range(ncon * 4):
                         Je = Jc[e]
-                        H = H + (hh[nsingle + e] * Je[:, None, :]) * Je[None, :, :]
+                        H = H + (hh[nsingle + e] * Je[:, None]) * Je[None]
                     Lh = chol(H)
                     dxn = -chol_solve(Lh, grad)
                 jv = jmul(dxn)
@@ -1287,12 +1324,12 @@ def _build_kernel(m: Model, n_substeps: int):
                 hq = jnp.sum(dxn * mv, axis=0)
                 alpha = zeroT
                 for _ in range(ls_iterations):
-                    jar_a = jar + alpha[None, :] * jv
+                    jar_a = jar + alpha[None] * jv
                     gg, hh = force_hess(jar_a)
                     dphi = g0 + alpha * hq + jnp.sum(jv * gg, axis=0)
                     ddphi = hq + jnp.sum(hh * jv * jv, axis=0)
                     alpha = alpha - dphi / jnp.maximum(ddphi, 1e-12)
-                x = x + alpha[None, :] * dxn
+                x = x + alpha[None] * dxn
 
             qacc = x
 
@@ -1309,7 +1346,7 @@ def _build_kernel(m: Model, n_substeps: int):
             site_xpos_st = jnp.stack(site_xpos_l, 0)
             site_xmat_st = jnp.stack(site_xmat_l, 0)
 
-            vdofacc = cdof_dot * qvel[:, None, :] + cdof * qacc[:, None, :]
+            vdofacc = cdof_dot * qvel[:, None] + cdof * qacc[:, None]
             cacc = grav[None] + mask_dot(anc, vdofacc)
 
             # per-site kinematic quantities computed once (sensors sharing a
@@ -1355,7 +1392,7 @@ def _build_kernel(m: Model, n_substeps: int):
                     [sensor_vec(s.sensors[si][0], objid) for si in sids], 0
                 )  # (m,3,T)
                 rot = site_xmat_l[objid]  # (3,3,T); out[m,i] = Σ_k rot[k,i]·V[m,k]
-                rotated = jnp.sum(rot[None] * V[:, :, None, :], axis=1)
+                rotated = jnp.sum(rot[None] * V[:, :, None], axis=1)
                 for mi, si in enumerate(sids):
                     rot_vals[si] = rotated[mi]
 
@@ -1365,9 +1402,9 @@ def _build_kernel(m: Model, n_substeps: int):
                 if si in rot_vals:
                     val = rot_vals[si]
                 elif kind == "framezaxis":
-                    val = rot[:, 2, :]
+                    val = rot[:, 2]
                 elif kind == "framexaxis":
-                    val = rot[:, 0, :]
+                    val = rot[:, 0]
                 elif kind == "framelinvel":
                     val = site_vp(objid)
                 elif kind == "frameangvel":
@@ -1410,12 +1447,12 @@ def _build_kernel(m: Model, n_substeps: int):
                     w = jnp.stack([qvel_n[dadr + 3 + i] for i in range(3)])
                     angle = jnp.sqrt(jnp.sum(w * w, axis=0))
                     safe = jnp.maximum(angle, 1e-12)
-                    axis = w * (1.0 / safe)[None, :]
+                    axis = w * (1.0 / safe)[None]
                     half = 0.5 * angle * dt
                     sh = jnp.sin(half)
-                    dq = jnp.concatenate([jnp.cos(half)[None, :], axis * sh[None, :]], 0)
-                    ident = jnp.concatenate([1.0 + 0.0 * half[None, :], 0.0 * axis], 0)
-                    dq = jnp.where((angle < 1e-12)[None, :], ident, dq)
+                    dq = jnp.concatenate([jnp.cos(half)[None], axis * sh[None]], 0)
+                    ident = jnp.concatenate([1.0 + 0.0 * half[None], 0.0 * axis], 0)
+                    dq = jnp.where((angle < 1e-12)[None], ident, dq)
                     segs.append(lquat_normalize(lquat_mul(quat, dq)))
                 elif HINGE_CONTIG:
                     if qadr == H_Q0:  # all hinges in one fused slice update
@@ -1444,9 +1481,7 @@ def _build_kernel(m: Model, n_substeps: int):
                 )
             return res
 
-        T = qpos_ref.shape[-1]
-        f32 = jnp.float32
-        z = lambda *shape: jnp.zeros(shape + (T,), f32)
+        z = lambda *shape: jnp.zeros(shape + tail, f32)
         init = (
             qpos_ref[:], qvel_ref[:], warm_ref[:], z(nv), z(s.nsite, 3),
             z(s.nsite, 3, 3), z(nu), z(ncon), z(s.nsensordata),
@@ -1506,14 +1541,48 @@ def _tile_table(s, hfield_data, hf):
     return jnp.asarray(tab), nti
 
 
+_HW_TILES = (1024, 128)  # (8,128) sublane x lane vreg tail, or 1-D lane tile
+
+
+def pick_tile(batch: int) -> int | None:
+    """Largest hardware-legal env tile for a batch: 1024 (8 f32 sublanes x
+    128 lanes — one full vreg tail per op) or 128 (classic 1-D lane tile).
+    Intermediate sublane counts (2,4,..) are rejected by Mosaic: a block's
+    second-to-minor dim must be a multiple of the 8-row sublane tile. The
+    batch a device sees must be a multiple of the tile; under data-parallel
+    sharding that is the PER-DEVICE batch, so the auto-pick is bounded by
+    batch / jax.device_count(). ODPT_LANE_TILE forces a specific tile
+    (still subject to divisibility); returns None if even 128 won't fit."""
+    ov = os.environ.get("ODPT_LANE_TILE")
+    if ov:
+        t = int(ov)
+        return t if (batch % t == 0 and t in _HW_TILES) else None
+    per_dev = batch // jax.device_count() if batch % jax.device_count() == 0 else batch
+    for t in _HW_TILES:
+        if per_dev % t == 0:
+            return t
+    return None
+
+
+# concrete models by spec id, so kernels for new tiles can be built lazily
+# at trace time (the call-site model may be a batched/DR tracer)
+_MODEL_REGISTRY: Dict[int, Model] = {}
+
+
 def prepare(m: Model, n_substeps: int, tile: int = LANE_TILE) -> None:
     """Build + cache the kernel from a CONCRETE model (host-side), baking
     structural constants. Call before tracing (e.g. at env construction)."""
     if isinstance(m.body_pos, jax.core.Tracer):
         raise ValueError("megakernel.prepare() needs a concrete Model")
+    if id(m.spec) not in _MODEL_REGISTRY:
+        # all-numpy copy: lazy builds for other tiles may run inside a jit
+        # trace, where any op on a jnp-array leaf would stage a tracer
+        _MODEL_REGISTRY[id(m.spec)] = jax.tree.map(np.asarray, m)
     key = (id(m.spec), n_substeps, tile)
     if key not in _KERNEL_CACHE:
-        _KERNEL_CACHE[key] = _build_kernel(m, n_substeps)
+        _KERNEL_CACHE[key] = _build_kernel(
+            _MODEL_REGISTRY[id(m.spec)], n_substeps, tile
+        )
 
 
 def megakernel_step_batched(m: Model, d: Data, ctrl: jnp.ndarray,
@@ -1526,7 +1595,17 @@ def megakernel_step_batched(m: Model, d: Data, ctrl: jnp.ndarray,
 
     key = (id(s), n_substeps, tile)
     if key not in _KERNEL_CACHE:
-        prepare(m, n_substeps, tile)  # raises if the model is traced
+        # build from the registered concrete model: the call-site model may
+        # be a batched DR tracer, but kernel constants are structural
+        cm = _MODEL_REGISTRY.get(id(s))
+        if cm is None and not isinstance(m.body_pos, jax.core.Tracer):
+            cm = m
+        if cm is None:
+            raise ValueError(
+                "megakernel: no concrete Model registered for this spec; "
+                "call megakernel.prepare() at env construction"
+            )
+        prepare(cm, n_substeps, tile)
     kernel, const_values, out_shapes, hf = _KERNEL_CACHE[key]
 
     def bcast(x, shape):
@@ -1535,8 +1614,17 @@ def megakernel_step_batched(m: Model, d: Data, ctrl: jnp.ndarray,
             x = jnp.broadcast_to(x[None], (B,) + shape)
         return x
 
+    # Env tail layout: env axis moves last; for sublane tiles (tile > 128)
+    # it splits into (B // 128, 128) so each grid program's block is an
+    # (SUB, 128) tail — envs [i*tile, (i+1)*tile) land in program i with
+    # env e at sublane (e % tile) // 128, lane e % 128.
+    SUB = tile // 128
+
     def lane(x):
-        return jnp.moveaxis(x, 0, -1)
+        x = jnp.moveaxis(x, 0, -1)
+        if SUB > 1:
+            x = x.reshape(x.shape[:-1] + (B // 128, 128))
+        return x
 
     gain0 = bcast(m.actuator_gainprm[..., 0], (s.nu,))
     bias0 = bcast(m.actuator_biasprm[..., 0], (s.nu,))
@@ -1603,14 +1691,16 @@ def megakernel_step_batched(m: Model, d: Data, ctrl: jnp.ndarray,
     const_inputs = [jnp.asarray(c) for c in const_values]
 
     grid = (B // tile,)
+    tail = (tile,) if SUB == 1 else (SUB, 128)
 
     def lane_spec(x):
-        blk = x.shape[:-1] + (tile,)
+        blk = x.shape[: -len(tail)] + tail
         nd = len(blk)
-        return pl.BlockSpec(
-            blk, lambda i, nd=nd: (0,) * (nd - 1) + (i,),
-            memory_space=pltpu.VMEM,
-        )
+        if SUB == 1:
+            idx = lambda i, nd=nd: (0,) * (nd - 1) + (i,)
+        else:
+            idx = lambda i, nd=nd: (0,) * (nd - 2) + (i, 0)
+        return pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
 
     def const_spec(x):
         nd = x.ndim
@@ -1619,17 +1709,23 @@ def megakernel_step_batched(m: Model, d: Data, ctrl: jnp.ndarray,
         )
 
     out_names = list(out_shapes.keys())
+    host_tail = (B,) if SUB == 1 else (B // 128, 128)
     out_shape = [
-        jax.ShapeDtypeStruct(out_shapes[k] + (B,), jnp.float32) for k in out_names
-    ]
-    out_specs = [
-        pl.BlockSpec(
-            out_shapes[k] + (tile,),
-            lambda i, nd=len(out_shapes[k]) + 1: (0,) * (nd - 1) + (i,),
-            memory_space=pltpu.VMEM,
-        )
+        jax.ShapeDtypeStruct(out_shapes[k] + host_tail, jnp.float32)
         for k in out_names
     ]
+
+    def out_spec(k):
+        nd = len(out_shapes[k]) + len(tail)
+        if SUB == 1:
+            idx = lambda i, nd=nd: (0,) * (nd - 1) + (i,)
+        else:
+            idx = lambda i, nd=nd: (0,) * (nd - 2) + (i, 0)
+        return pl.BlockSpec(
+            out_shapes[k] + tail, idx, memory_space=pltpu.VMEM
+        )
+
+    out_specs = [out_spec(k) for k in out_names]
 
     outs = pl.pallas_call(
         kernel,
@@ -1646,6 +1742,8 @@ def megakernel_step_batched(m: Model, d: Data, ctrl: jnp.ndarray,
     res = dict(zip(out_names, outs))
 
     def unlane(x):
+        if SUB > 1:
+            x = x.reshape(x.shape[:-2] + (B,))
         return jnp.moveaxis(x, -1, 0)
 
     return d.replace(

@@ -33,21 +33,40 @@ _OPT_IN = pytest.mark.skipif(
 )
 
 
+def test_pick_tile():
+    """Auto tile selection: 1024 (sublane x lane) when the per-device batch
+    allows, else 128 (1-D lane tile), else None -> jnp fallback."""
+    nd = jax.device_count()
+    assert MK.pick_tile(1024 * nd) == 1024
+    assert MK.pick_tile(128 * nd) == 128
+    assert MK.pick_tile(8192 * nd) == 1024
+    assert MK.pick_tile(640 * nd) == 128  # 640 = 5*128: 1024 doesn't divide
+    assert MK.pick_tile(100) is None  # not 128-aligned
+    os.environ["ODPT_LANE_TILE"] = "128"
+    try:
+        assert MK.pick_tile(1024 * nd) == 128
+        assert MK.pick_tile(100) is None  # forced tile must divide the batch
+    finally:
+        del os.environ["ODPT_LANE_TILE"]
+
+
 @pytest.mark.parametrize(
-    "scene",
+    "scene,tile",
     [
-        "scene_flat_terrain_backlash.xml",
-        pytest.param("scene_rough_terrain_backlash.xml", marks=_OPT_IN),
+        ("scene_flat_terrain_backlash.xml", 128),
+        # tile=256 -> the 2-D (sublane x lane) env tail used in production
+        pytest.param("scene_flat_terrain_backlash.xml", 256, marks=_OPT_IN),
+        pytest.param("scene_rough_terrain_backlash.xml", 128, marks=_OPT_IN),
     ],
 )
-def test_megakernel_interpret_matches_engine(scene):
+def test_megakernel_interpret_matches_engine(scene, tile):
     old = MK.INTERPRET
     MK.INTERPRET = True
     try:
         m, mj = loader.load_model(
             str(duck_base.XML_DIR / scene), timestep=0.002
         )
-        B = MK.LANE_TILE
+        B = tile
         kq, kv = jax.random.split(jax.random.PRNGKey(0))
         qpos = jnp.tile(
             jnp.asarray(mj.keyframe("home").qpos, jnp.float32), (B, 1)
@@ -68,8 +87,8 @@ def test_megakernel_interpret_matches_engine(scene):
         d0 = jax.jit(jax.vmap(lambda q, v, c: F.init(m, q, v, c)))(
             qpos, qvel, ctrl
         )
-        MK.prepare(m, 2)
-        d_mk = MK.megakernel_step_batched(m, d0, ctrl, n_substeps=2)
+        MK.prepare(m, 2, tile)
+        d_mk = MK.megakernel_step_batched(m, d0, ctrl, n_substeps=2, tile=tile)
         d_ref = jax.jit(
             jax.vmap(lambda dd, cc: F.step(m, dd, cc, 2, use_megakernel=False))
         )(d0, ctrl)

@@ -77,7 +77,8 @@ from open_duck_playground_tpu.envs import duck_base
 import sys
 scene = sys.argv[1]
 m, mj = loader.load_model(str(duck_base.XML_DIR / scene), timestep=0.002)
-B = MK.LANE_TILE
+B = int(sys.argv[2])  # pick_tile maps this to the kernel's env-tail tile
+assert MK.pick_tile(B) == B, (B, MK.pick_tile(B))
 kq, kv = jax.random.split(jax.random.PRNGKey(0))
 qpos = jnp.tile(jnp.asarray(mj.keyframe("home").qpos, jnp.float32), (B, 1))
 qpos = qpos + 0.01 * jax.random.normal(kq, qpos.shape, jnp.float32)
@@ -123,17 +124,21 @@ print("MEGAKERNEL_OK")
 
 
 @pytest.mark.parametrize(
-    "scene",
+    "scene,batch",
     [
-        "scene_flat_terrain_backlash.xml",
-        "scene_rough_terrain_backlash.xml",
-        "scene_flat_terrain_no_head.xml",
+        # batch=128 -> classic 1-D lane tile; batch=1024 -> the (8,128)
+        # sublane x lane env tail (the production training layout)
+        ("scene_flat_terrain_backlash.xml", 128),
+        ("scene_flat_terrain_backlash.xml", 1024),
+        ("scene_rough_terrain_backlash.xml", 128),
+        ("scene_rough_terrain_backlash.xml", 1024),
+        ("scene_flat_terrain_no_head.xml", 128),
     ],
 )
-def test_megakernel_matches_reference_engine_on_tpu(scene):
+def test_megakernel_matches_reference_engine_on_tpu(scene, batch):
     _tpu_or_skip()
     r = subprocess.run(
-        [sys.executable, "-c", _SCRIPT, scene],
+        [sys.executable, "-c", _SCRIPT, scene, str(batch)],
         capture_output=True,
         text=True,
         timeout=1200,

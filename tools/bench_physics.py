@@ -35,6 +35,9 @@ def main():
 
     env = Joystick(task=args.task)
     m = env._model
+    # pre-build the kernel for this tile: the lazy build inside jit would
+    # see a traced model (scan closes over it) and fail
+    MK.prepare(m, env.n_substeps, tile)
     keys = jax.random.split(jax.random.PRNGKey(0), args.envs)
     state = jax.jit(jax.vmap(env.reset))(keys)
     ctrl = jnp.tile(env._default_actuator[None], (args.envs, 1))
