@@ -101,20 +101,22 @@ def main() -> None:
                     help="estimate VPU issue slots + speed-of-light env rate")
     ap.add_argument("--clock_ghz", type=float, default=0.94,
                     help="TPU core clock (v5e ~0.94 GHz)")
+    ap.add_argument("--tile", type=int, default=MK.LANE_TILE,
+                    help="env tile: 128 (1-D lane) or 1024 (8x128 sublane)")
     args = ap.parse_args()
 
     m, mj = loader.load_model(
         str(duck_base.XML_DIR / f"scene_{args.task}.xml"), timestep=0.002
     )
-    B = MK.LANE_TILE
+    B = args.tile
     qpos = jnp.tile(jnp.asarray(mj.keyframe("home").qpos, jnp.float32), (B, 1))
     qvel = jnp.zeros((B, m.spec.nv), jnp.float32)
     ctrl = jnp.tile(jnp.asarray(mj.keyframe("home").ctrl, jnp.float32), (B, 1))
     d0 = jax.jit(jax.vmap(lambda q, v, c: F.init(m, q, v, c)))(qpos, qvel, ctrl)
-    MK.prepare(m, args.substeps)
+    MK.prepare(m, args.substeps, B)
     jaxpr = jax.make_jaxpr(
         lambda dd, cc: MK.megakernel_step_batched(
-            m, dd, cc, n_substeps=args.substeps
+            m, dd, cc, n_substeps=args.substeps, tile=B
         )
     )(d0, ctrl)
     pallas = [
@@ -143,10 +145,10 @@ def main() -> None:
     if args.slots:
         total = sum(slots.values())
         per_substep = total / args.substeps
-        # one kernel program = LANE_TILE envs x `substeps` physics substeps
-        env_rate = args.clock_ghz * 1e9 / total * MK.LANE_TILE * args.substeps / 10
+        # one kernel program = `tile` envs x `substeps` physics substeps
+        env_rate = args.clock_ghz * 1e9 / total * B * args.substeps / 10
         print(f"\nestimated VPU issue slots: {total:.0f} total, "
-              f"{per_substep:.0f}/substep (@{MK.LANE_TILE} envs)")
+              f"{per_substep:.0f}/substep (@{B} envs)")
         print(f"speed-of-light (issue-bound, {args.clock_ghz} GHz): "
               f"{env_rate:,.0f} env steps/s/chip (10 substeps/env step)")
         for name, n in slots.most_common(args.top):
