@@ -256,6 +256,14 @@ def main(argv=None):
     parser.add_argument("--standing", action="store_true", default=False)
     parser.add_argument("--headless_seconds", type=float, default=None)
     parser.add_argument(
+        "--command",
+        type=str,
+        default=None,
+        metavar="VX,VY,WZ[,NP,HP,HY,HR]",
+        help="fixed 7-dim command for headless mode, comma-separated "
+        "(trailing head dims default to 0), e.g. --command 0.14,0,0",
+    )
+    parser.add_argument(
         "--accel_x_offset",
         type=float,
         default=1.3,
@@ -270,8 +278,14 @@ def main(argv=None):
         args.standing,
         accel_x_offset=args.accel_x_offset,
     )
+    commands = None
+    if args.command is not None:
+        vals = [float(v) for v in args.command.split(",")]
+        if len(vals) > 7:
+            raise SystemExit("--command takes at most 7 values")
+        commands = vals + [0.0] * (7 - len(vals))
     if args.headless_seconds:
-        stats = runner.run_headless(args.headless_seconds)
+        stats = runner.run_headless(args.headless_seconds, commands=commands)
         print({k: v for k, v in stats.items() if k != "saved_obs"})
         with open("mujoco_saved_obs.pkl", "wb") as f:
             pickle.dump(stats["saved_obs"], f)
