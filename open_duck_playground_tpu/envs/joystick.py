@@ -37,6 +37,22 @@ def default_config() -> config_dict.ConfigDict:
         episode_length=1000,
         action_repeat=1,
         action_scale=0.25,
+        # config mirror of the module flag (reference joystick.py:45) so
+        # experiments can flip it per-run via --config_override; obs layout
+        # is unchanged (imitation_phase dims stay, as zeros) so exported
+        # policies remain size-compatible
+        use_imitation=USE_IMITATION_REWARD,
+        # reset-time joint-angle perturbation: qpos *= U(lo, hi) (reference
+        # joystick.py:237-243 hardcodes [0.5, 1.5]); variants with a smaller
+        # stability margin (no-head) train with a narrower range
+        reset_joint_scale_range=[0.5, 1.5],
+        # reference state initialization (DeepMimic-style, beyond reference):
+        # with this probability a reset starts mid-gait — legs posed at a
+        # random phase of the reference motion, joint+base velocities from
+        # the same frame — so the value function sees stepping states even
+        # when the policy hasn't discovered stepping (the no-head build's
+        # stand-still local optimum). 0.0 = reference-parity resets.
+        rsi_prob=0.0,
         dof_vel_scale=0.05,
         history_len=0,
         soft_joint_pos_limit_factor=0.95,
@@ -107,6 +123,8 @@ class Joystick(DuckEnv):
             config_overrides=config_overrides,
             **kwargs,
         )
+        if "use_imitation" in self._config:
+            self.use_imitation = bool(self._config.use_imitation)
         self._post_init()
 
     @staticmethod
@@ -178,8 +196,11 @@ class Joystick(DuckEnv):
         qpos = self.set_floating_base_qpos(base, qpos)
 
         rng, key = jax.random.split(rng)
+        js_lo, js_hi = self._config.get(
+            "reset_joint_scale_range", (0.5, 1.5)
+        )
         jpos = self.get_actuator_joints_qpos(qpos) * jax.random.uniform(
-            key, (self._actuators,), jnp.float32, minval=0.5, maxval=1.5
+            key, (self._actuators,), jnp.float32, minval=js_lo, maxval=js_hi
         )
         qpos = self.set_actuator_joints_qpos(jpos, qpos)
 
@@ -188,11 +209,50 @@ class Joystick(DuckEnv):
             jax.random.uniform(key, (6,), jnp.float32, minval=-0.05, maxval=0.05), qvel
         )
 
-        ctrl = self.get_actuator_joints_qpos(qpos)
-        data = F.init(model, qpos, qvel, ctrl)
-
         rng, cmd_rng = jax.random.split(rng)
         cmd = self.sample_command(cmd_rng)
+
+        imitation_i0 = jnp.asarray(0, jnp.int32)
+        rsi_prob = float(self._config.get("rsi_prob", 0.0))
+        if self.use_imitation and rsi_prob > 0.0:
+            rng, gate_key, phase_key = jax.random.split(rng, 3)
+            i0 = jax.random.randint(
+                phase_key, (), 0, self.gait.nb_steps_in_period, jnp.int32
+            )
+            use_rsi = jax.random.uniform(gate_key) < rsi_prob
+            imitation_i0 = jnp.where(use_rsi, i0, 0)
+            ref0 = self.gait.reference_frame(cmd[0], cmd[1], cmd[2], imitation_i0)
+            ref_jpos = jnp.concatenate([ref0[0:5], ref0[11:16]])
+            if self._imitation_ref_offset is not None:
+                ref_jpos = ref_jpos + self._imitation_ref_offset
+            ref_jvel = jnp.concatenate([ref0[16:21], ref0[27:32]])
+            cur_jpos = self.get_actuator_joints_qpos(qpos)
+            cur_jvel = qvel[self._actuator_dofadr]
+            if self._actuators == 10:
+                rsi_jpos, rsi_jvel = ref_jpos, ref_jvel
+            else:  # 14-actuator robot: head joints (5:9) stay at the
+                # perturbed reset pose; the gait frame only covers legs
+                rsi_jpos = cur_jpos.at[:5].set(ref_jpos[:5]).at[9:].set(ref_jpos[5:])
+                rsi_jvel = cur_jvel.at[:5].set(ref_jvel[:5]).at[9:].set(ref_jvel[5:])
+            qpos = self.set_actuator_joints_qpos(
+                jnp.where(use_rsi, rsi_jpos, cur_jpos), qpos
+            )
+            qvel = qvel.at[self._actuator_dofadr].set(
+                jnp.where(use_rsi, rsi_jvel, cur_jvel)
+            )
+            # base velocity from the reference frame (heading-local), rotated
+            # into the world by the randomized yaw
+            base_quat = self.get_floating_base_qpos(qpos)[3:7]
+            rsi_base_vel = jnp.concatenate(
+                [maths.quat_rotate(base_quat, ref0[34:37]), ref0[37:40]]
+            )
+            qvel = self.set_floating_base_qvel(
+                jnp.where(use_rsi, rsi_base_vel, self.get_floating_base_qvel(qvel)),
+                qvel,
+            )
+
+        ctrl = self.get_actuator_joints_qpos(qpos)
+        data = F.init(model, qpos, qvel, ctrl)
 
         rng, push_rng = jax.random.split(rng)
         push_interval = jax.random.uniform(
@@ -204,7 +264,7 @@ class Joystick(DuckEnv):
         push_interval_steps = jnp.round(push_interval / self.dt).astype(jnp.int32)
 
         if self.use_imitation:
-            ref = self.gait.reference_frame(cmd[0], cmd[1], cmd[2], 0)
+            ref = self.gait.reference_frame(cmd[0], cmd[1], cmd[2], imitation_i0)
         else:
             ref = jnp.zeros(0, jnp.float32)
 
@@ -229,11 +289,15 @@ class Joystick(DuckEnv):
                 jnp.float32,
             ),
             "imu_history": jnp.zeros(self._config.noise_config.imu_max_delay * 3, jnp.float32),
-            "imitation_i": jnp.asarray(0, jnp.int32),
+            "imitation_i": imitation_i0,
             "current_reference_motion": ref,
         }
         if self.obs_has_imitation_phase:
-            info["imitation_phase"] = jnp.zeros(2, jnp.float32)
+            if self.use_imitation and rsi_prob > 0.0:
+                ph = imitation_i0 / self.gait.nb_steps_in_period * 2 * jnp.pi
+                info["imitation_phase"] = jnp.stack([jnp.cos(ph), jnp.sin(ph)])
+            else:
+                info["imitation_phase"] = jnp.zeros(2, jnp.float32)
 
         metrics = {}
         for k, v in self._config.reward_config.scales.items():

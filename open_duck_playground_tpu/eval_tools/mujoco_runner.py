@@ -47,11 +47,17 @@ class ClosedLoopRunner:
         reference_data: str | None = None,
         standing: bool = False,
         accel_x_offset: float = 1.3,
+        zero_phase: bool = False,
     ):
         # accel_x_offset replicates the reference's eval-side accelerometer
         # quirk (mujoco_infer.py:74; a no-op in training obs). Pass 0.0 for
         # train/eval-consistent obs — measurably better command tracking.
         self.accel_x_offset = accel_x_offset
+        # zero_phase: policies trained with use_imitation=False keep the
+        # imitation-phase obs dims frozen at [0, 0] (joystick.py reset/step);
+        # feeding them a live cos/sin phase here is out-of-distribution and
+        # makes such policies fall on contact. Obs layout is unchanged.
+        self.zero_phase = zero_phase
         self.model = compile_mjcf(model_path, timestep=0.002)
         self.data = mujoco.MjData(self.model)
         # start from the "home" keyframe like training reset does
@@ -150,7 +156,7 @@ class ClosedLoopRunner:
 
     # --------------------------------------------------------------- control
     def control_step(self):
-        if not self.standing:
+        if not self.standing and not self.zero_phase:
             self.imitation_i = (
                 self.imitation_i + self.phase_frequency_factor
             ) % self.gait.nb_steps_in_period
@@ -270,6 +276,13 @@ def main(argv=None):
         help="eval-side accelerometer x offset (reference parity quirk, "
         "mujoco_infer.py:74); pass 0 for train-consistent obs",
     )
+    parser.add_argument(
+        "--zero_phase",
+        action="store_true",
+        default=False,
+        help="freeze the imitation-phase obs dims at [0,0] for policies "
+        "trained with use_imitation=False",
+    )
     args = parser.parse_args(argv)
     runner = ClosedLoopRunner(
         args.model_path,
@@ -277,6 +290,7 @@ def main(argv=None):
         args.reference_data,
         args.standing,
         accel_x_offset=args.accel_x_offset,
+        zero_phase=args.zero_phase,
     )
     commands = None
     if args.command is not None:

@@ -177,3 +177,44 @@ def test_training_env_quarantines_nonfinite(joystick):
     assert float(out.reward[0]) == 0.0  # and its reward zeroed
     # env 1 unaffected
     assert float(out.done[1]) in (0.0, 1.0)
+
+
+def test_rsi_reset_starts_mid_gait():
+    """rsi_prob>0 resets pose the legs at a random gait phase with matching
+    joint/base velocities and a phase-consistent obs (beyond reference:
+    DeepMimic-style reference state initialization)."""
+    env = Joystick(
+        task="flat_terrain_no_head",
+        config_overrides={"rsi_prob": 1.0, "reset_joint_scale_range": [1.0, 1.0]},
+    )
+    reset = jax.jit(env.reset)
+    phases, jpos_errs = [], []
+    for seed in range(8):
+        st = reset(jax.random.PRNGKey(seed))
+        i0 = int(st.info["imitation_i"])
+        phases.append(i0)
+        # legs must sit exactly on the retargeted reference frame
+        ref = st.info["current_reference_motion"]
+        ref_legs = jnp.concatenate([ref[0:5], ref[11:16]])
+        if env._imitation_ref_offset is not None:
+            ref_legs = ref_legs + env._imitation_ref_offset
+        jpos = env.get_actuator_joints_qpos(st.data.qpos)
+        jpos_errs.append(float(jnp.abs(jpos - ref_legs).max()))
+        # phase obs must encode i0, not the zero vector
+        ph = i0 / env.gait.nb_steps_in_period * 2 * np.pi
+        np.testing.assert_allclose(
+            np.asarray(st.info["imitation_phase"]),
+            [np.cos(ph), np.sin(ph)],
+            atol=1e-5,
+        )
+    assert len(set(phases)) > 2, f"phases not randomized: {phases}"
+    assert max(jpos_errs) < 1e-5, f"legs not posed on the reference: {jpos_errs}"
+
+
+def test_rsi_off_reset_unchanged():
+    """rsi_prob=0 (the default) must reproduce the reference-parity reset:
+    phase 0, zero phase obs, home-scaled joints."""
+    env = Joystick(task="flat_terrain_no_head")
+    st = jax.jit(env.reset)(jax.random.PRNGKey(3))
+    assert int(st.info["imitation_i"]) == 0
+    np.testing.assert_array_equal(np.asarray(st.info["imitation_phase"]), [0.0, 0.0])
