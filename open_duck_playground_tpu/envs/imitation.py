@@ -23,7 +23,8 @@ _W_CONTACT = 1.0
 # The gait library was authored for the FULL robot, whose balanced stance is
 # the flat-terrain "home" keyframe (leg slice below, scene_flat_terrain.xml
 # keyframe). Robot variants with a different mass distribution re-balance
-# their home keyframe (e.g. no-head: hip_pitch -0.63 -> -0.58); their gait
+# their home keyframe (e.g. no-head: hip_pitch -0.63 -> -0.81, ankle
+# -0.784 -> -0.554, restoring the full robot's CoM support margin); their gait
 # targets must be retargeted by the home-pose delta or the W_JOINT_POS pull
 # drags the robot toward a stance that tips it over (the observed stand-still
 # local optimum on the no-head build).

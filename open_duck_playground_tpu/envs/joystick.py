@@ -148,7 +148,8 @@ class Joystick(DuckEnv):
             GaitOracle(str(duck_base.GAIT_PKL)) if self.use_imitation else None
         )
         # Retarget the gait library's joint targets onto this variant's
-        # balanced stance (no-head: hip_pitch -0.63 -> -0.58); zero for the
+        # balanced stance (no-head: hip_pitch/ankle rotated back under the
+        # body to restore the full robot's CoM support margin); zero for the
         # full robot, whose home keyframe IS the library's authored stance.
         if self.use_imitation and mj.nu == 10:
             self._imitation_ref_offset = (
