@@ -22,6 +22,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", default="flat_terrain_backlash")
     ap.add_argument("--timesteps", type=int, default=50_000_000)
+    ap.add_argument("--json_out", default=None,
+                    help="also write the summary JSON record to this path")
     args = ap.parse_args()
 
     from open_duck_playground_tpu.envs.joystick import Joystick
@@ -55,7 +57,25 @@ def main():
     tail = times[1:] if len(times) > 1 else times
     tot_s = sum(s for s, _ in tail)
     tot_t = sum(t for _, t in tail)
-    print(f"SUSTAINED: {tot_s / tot_t:,.0f} env steps/s (excl. first timed chunk)")
+    rate = tot_s / tot_t
+    print(f"SUSTAINED: {rate:,.0f} env steps/s (excl. first timed chunk)")
+    # machine-checkable artifact next to BENCH_r*.json (one JSON line)
+    import json
+
+    record = {
+        "metric": "sustained_ppo_env_steps_per_sec_per_chip",
+        "value": round(rate),
+        "unit": "env_steps/s/chip",
+        "task": args.task,
+        "timesteps": args.timesteps,
+        "chunks": [
+            {"steps": s, "seconds": round(t, 3)} for s, t in times
+        ],
+    }
+    print(json.dumps(record), flush=True)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":
