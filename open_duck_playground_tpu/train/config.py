@@ -5,7 +5,9 @@ The reference pulls these from
 "BerkeleyHumanoidJoystickFlatTerrain")` (runner.py:87-89, an acknowledged
 placeholder name). That package is not vendored here, so the values are pinned
 explicitly (SURVEY §2.2 directs this); they follow the mujoco_playground
-locomotion defaults. Override any of them via `ppo_config(**overrides)`.
+locomotion defaults. Field-by-field provenance (which values come from the
+mujoco_playground registry vs brax's ppo.train signature defaults vs this
+repo) is recorded in PARITY.md. Override any via `ppo_config(**overrides)`.
 """
 
 from __future__ import annotations
