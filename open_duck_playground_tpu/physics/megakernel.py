@@ -483,6 +483,10 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
         # (nv,nbody) mask_dot (the per-body subtree intermediates were
         # consumed only by that gather)
         dofsub_mask=desc_np[dofbody, :],
+        # friction-row D and 0.5*R: structural solref/solimp constants,
+        # stacked once so the solver's friction class needs no per-row muls
+        fricD=np.asarray(fric_D, np.float32).reshape((nfric,) + E1),
+        fricRh=0.5 * np.asarray(fric_R, np.float32).reshape((nfric,) + E1),
     )
 
     in_tree = anc_np.any(axis=1).astype(np.float32)
@@ -906,66 +910,156 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
             def chol_solve(fac, bb):
                 return bwd_sub(fac, fwd_sub(fac, bb))
 
-            def fwd_panel(fac, Bp):
-                # solve L P = Bp for a panel Bp (n, kc, T)
-                L, rd = fac
-                n = L.shape[0]
-                rows: List = []
-                acc = 0.0 * Bp
+            # --- column-form factorization kit (USE_BLOCK path). Matrices
+            # live as TRAILING-COLUMN lists: cols[j] = A[j:, j] — only the
+            # lower triangle ever exists, so the symmetric rank-1 updates,
+            # the right-looking cholesky update, and the forward-solve
+            # accumulators all do half the VPU work of their square-matrix
+            # equivalents (the dense fallback below keeps the square forms).
+            def chol_c(cols):
+                # cols -> (trailing L columns, reciprocal pivots)
+                n = len(cols)
+                colts: List = []
+                rdiag: List = []
+                rem = list(cols)
                 for kk in range(n):
-                    xk = (Bp[kk] - acc[kk]) * rd[kk][None]
+                    c0 = rem[0]
+                    rpiv = jax.lax.rsqrt(jnp.maximum(c0[0], 1e-12))
+                    colt = c0 * rpiv[None]  # (n-kk, T)
+                    colts.append(colt)
+                    rdiag.append(rpiv)
+                    t = colt[1:]
+                    rem = [
+                        rem[j] - t[j - 1 :] * t[j - 1][None]
+                        for j in range(1, n - kk)
+                    ]
+                return colts, rdiag
+
+            def fsub_c(fac, bb):
+                # solve L u = bb with a TRAILING accumulator (rows already
+                # solved drop out of the update)
+                colts, rd = fac
+                n = len(colts)
+                xs: List = []
+                acc = bb
+                for kk in range(n):
+                    xk = acc[0] * rd[kk]
+                    xs.append(xk)
+                    if kk < n - 1:
+                        acc = acc[1:] - colts[kk][1:] * xk[None]
+                return jnp.stack(xs, axis=0)
+
+            def bsub_c(fac, bb):
+                # solve L^T x = bb: row kk's off-diagonal of L^T IS trailing
+                # column kk of L — a shrinking per-row accumulation against
+                # the solved tail (kept elementwise: Mosaic rejects
+                # reductions whose operand carries a sublane offset, which
+                # sliced trailing columns do at the 1-D lane tile)
+                colts, rd = fac
+                n = len(colts)
+                xs: List = [None] * n
+                for kk in range(n - 1, -1, -1):
+                    v = bb[kk]
+                    t = colts[kk]
+                    for j in range(1, n - kk):
+                        v = v - t[j] * xs[kk + j]
+                    xs[kk] = v * rd[kk]
+                return jnp.stack(xs, axis=0)
+
+            def fpanel_c(fac, Bp):
+                # solve L P = Bp for a panel Bp (n, kc, T), trailing acc
+                colts, rd = fac
+                n = len(colts)
+                rows: List = []
+                acc = Bp
+                for kk in range(n):
+                    xk = acc[0] * rd[kk][None]
                     rows.append(xk)
-                    acc = acc + L[:, kk][:, None] * xk[None]
+                    if kk < n - 1:
+                        acc = acc[1:] - colts[kk][1:][:, None] * xk[None]
                 return jnp.stack(rows, axis=0)
 
-            def block_factor(Acc, Acf, Aff):
+            def block_factor(AccC, Acf, AffC):
                 """Block-arrow Cholesky: per-chain factors + root Schur.
 
                 Eliminating chain blocks before the root block is fill-in
                 free (chains are mutually decoupled), so the factorization
                 is exact — same math as dense chol in a permuted dof order.
+                AccC/AffC are trailing-column lists (lower triangle only).
                 """
                 Ls, Ps = [], []
-                S = Aff
+                S = list(AffC)
+                nSr = len(S)
                 for ci in range(len(CHAINS)):
-                    Lc = chol(Acc[ci])
-                    Pc = fwd_panel(Lc, Acf[ci])  # (nc, nF, T)
+                    Lc = chol_c(AccC[ci])
+                    Pc = fpanel_c(Lc, Acf[ci])  # (nc, nF, T)
                     for k in range(Pc.shape[0]):
-                        S = S - Pc[k][:, None] * Pc[k][None]
+                        pk = Pc[k]
+                        S = [S[j] - pk[j:] * pk[j][None] for j in range(nSr)]
                     Ls.append(Lc)
                     Ps.append(Pc)
-                return Ls, Ps, chol(S)
+                return Ls, Ps, chol_c(S)
 
             def block_solve(fac, bb):
+                # bb/result in SEGMENT form: (xF (nF,T), [xc (nc,T)/chain])
                 Ls, Ps, LF = fac
+                bF, bs = bb
                 us = []
-                bF = bb[FB[0] : FB[1]]
-                for ci, (a_, e_) in enumerate(CHAINS):
-                    u = fwd_sub(Ls[ci], bb[a_:e_])
+                for ci in range(len(CHAINS)):
+                    u = fsub_c(Ls[ci], bs[ci])
                     for k in range(u.shape[0]):
                         bF = bF - Ps[ci][k] * u[k][None]
                     us.append(u)
-                xF = bwd_sub(LF, fwd_sub(LF, bF))
-                segs = [xF]
+                xF = bsub_c(LF, fsub_c(LF, bF))
+                xs = []
                 for ci in range(len(CHAINS)):
                     w = us[ci] - jnp.sum(Ps[ci] * xF[None], axis=1)
-                    segs.append(bwd_sub(Ls[ci], w))
-                return jnp.concatenate(segs, axis=0)
+                    xs.append(bsub_c(Ls[ci], w))
+                return xF, xs
 
-            def block_slices(Mb_, hdiag=None):
-                Mcc, Mcf, Mff = Mb_
-                eye1 = C["eye_nv1"]
-
-                def add_d(blk, a_, e_):
-                    if hdiag is None:
-                        return blk
-                    return blk + eye1[a_:e_, a_:e_] * hdiag[a_:e_][:, None]
-
-                Acc = [add_d(Mcc[ci3], a_, e_) for ci3, (a_, e_) in enumerate(CHAINS)]
-                return Acc, list(Mcf), add_d(Mff, FB[0], FB[1])
-
+            # dof-space segment helpers (root + per-chain pieces stay
+            # unstacked through the whole factor/solve path; the only
+            # concatenate left is the final qacc assembly)
             if USE_BLOCK:
-                qacc_smooth = block_solve(block_factor(*block_slices(Mb)), qfrc_smooth)
+
+                def seg_split(xd):
+                    return (
+                        xd[FB[0] : FB[1]],
+                        [xd[a_:e_] for a_, e_ in CHAINS],
+                    )
+
+                def seg_cat(xx):
+                    return jnp.concatenate([xx[0]] + list(xx[1]), axis=0)
+
+                def seg_sub(aa, bb):
+                    return (
+                        aa[0] - bb[0],
+                        [u - v for u, v in zip(aa[1], bb[1])],
+                    )
+
+                def seg_add(aa, bb):
+                    return (
+                        aa[0] + bb[0],
+                        [u + v for u, v in zip(aa[1], bb[1])],
+                    )
+
+                def seg_dot(aa, bb):
+                    t = jnp.sum(aa[0] * bb[0], axis=0)
+                    for u, v in zip(aa[1], bb[1]):
+                        t = t + jnp.sum(u * v, axis=0)
+                    return t
+
+                def mcols(blk):
+                    return [blk[j:, j] for j in range(blk.shape[0])]
+
+                Mb_fac = block_factor(
+                    [mcols(Mb[0][ci3]) for ci3 in range(len(CHAINS))],
+                    list(Mb[1]),
+                    mcols(Mb[2]),
+                )
+                qs_seg = block_solve(Mb_fac, seg_split(qfrc_smooth))
+                if DEBUG:
+                    qacc_smooth = seg_cat(qs_seg)
             else:
                 Lm = chol(M)
                 qacc_smooth = chol_solve(Lm, qfrc_smooth)
@@ -1088,14 +1182,17 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
             # (+-e_dof): they are kept as (dof, per-lane coefficient) pairs
             # instead of dense nv-rows — J apply/transpose and the Hessian
             # only materialize dense rows for the 4*ncon contact facets.
-            scoef: List = []  # per single row: row value = coef * x[dof]
-            J_rows, aref_rows, D_rows, R_rows = [], [], [], []
+            # rows are built per CLASS (friction | limit | contact): the
+            # friction/uni cost split is static, so the solver below never
+            # spends a blend op mixing them. Friction-row D/R are structural
+            # constants (solref/solimp of the dof), folded at build time.
+            arF: List = []  # friction rows: J = +e_dof
             for i in range(nfric):
-                dof = fd[i]
-                scoef.append(oneT)
-                aref_rows.append(-fric_B[i] * qvel[dof])
-                D_rows.append(fric_D[i] * oneT)
-                R_rows.append(fric_R[i] * oneT)
+                arF.append(-fric_B[i] * qvel[fd[i]])
+            coefL: List = []  # limit rows: J = coef * e_dof
+            arL: List = []
+            DL: List = []
+            RL: List = []
             for i in range(nlim):
                 qadr, dof = lim_q[i], lim_d[i]
                 j = lim_j[i]
@@ -1111,10 +1208,10 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
                 k_l, b_l = lim_kb[i]
                 aref = -b_l * sign * qvel[dof] - k_l * imp * pos_
                 r = jnp.maximum((1 - imp) / imp * lim_invw[i], _MINVAL)
-                scoef.append(jnp.where(active, sign, 0.0))
-                aref_rows.append(jnp.where(active, aref, 0.0))
-                D_rows.append(jnp.where(active, 1.0 / r, 0.0))
-                R_rows.append(r)
+                coefL.append(jnp.where(active, sign, 0.0))
+                arL.append(jnp.where(active, aref, 0.0))
+                DL.append(jnp.where(active, 1.0 / r, 0.0))
+                RL.append(r)
             inv_trn = body_invweight0[:, 0]
             # Contact-row Jacobians via the triple-product identity
             # J[v]·d = cdof_lin[v]·d + cdof_ang[v]·(pc × d): one 3-vector
@@ -1123,7 +1220,11 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
             # their static support (root block + own chain block).
             JF_rows: List = []  # (nF,T) root-block part, per contact row
             JC_rows: List = []  # (nc,T) own-chain part, per contact row
+            J_rows: List = []  # dense (nv,T) rows (non-block fallback)
             row_chain: List[int] = []
+            arC: List = []
+            DC: List = []
+            RC: List = []
             for ci in range(ncon):
                 fi = con_foot[ci]
                 b = s.geom_bodyid[s.collide_geom_ids[fi]]
@@ -1175,163 +1276,377 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
                             vel = jnp.sum(Jrow * qvel, axis=0)
                             J_rows.append(Jrow)
                         aref = -b_con * vel - k_con * imp * dist
-                        aref_rows.append(jnp.where(active, aref, 0.0))
-                        D_rows.append(jnp.where(active, 1.0 / r, 0.0))
-                        R_rows.append(r)
+                        arC.append(jnp.where(active, aref, 0.0))
+                        DC.append(jnp.where(active, 1.0 / r, 0.0))
+                        RC.append(r)
 
             sdofs = fd + lim_d  # static dof index per single row
             nsingle = nfric + nlim
-            if not USE_BLOCK:
-                Jc = jnp.stack(J_rows, axis=0)  # (ncon*4, nv, T) dense rows
-            aref = jnp.stack(aref_rows, axis=0)
-            Dv = jnp.stack(D_rows, axis=0)
-            Rv = jnp.stack(R_rows, axis=0)
-            flv = jnp.concatenate(
-                [
-                    jnp.stack([frictionloss[i] for i in fd], axis=0),
-                    jnp.zeros_like(Dv[: nlim + ncon * 4]),
-                ],
-                axis=0,
-            )
-            fric_sel = (
-                jax.lax.broadcasted_iota(jnp.int32, (nefc,) + E1, 0) < nfric
-            ).astype(f32)
 
-            # ----- Newton solve
-            def jmul(x):
-                single = jnp.stack(
-                    [scoef[i] * x[sdofs[i]] for i in range(nsingle)],
-                    axis=0,
-                )
-                if USE_BLOCK:
-                    xF = x[FB[0] : FB[1]]
-                    con = jnp.stack(
+            if USE_BLOCK:
+                # ----- Newton solve, segment/class form. Everything stays
+                # split by dof segment (root, chains) and by row class
+                # (friction | limit | contact) end-to-end; the friction-row
+                # D/R constants fold to numpy.
+                arF_st = jnp.stack(arF, axis=0)  # (nfric,T)
+                arL_st = jnp.stack(arL, axis=0)  # (nlim,T)
+                arC_st = jnp.stack(arC, axis=0)  # (ncon*4,T)
+                DvL = jnp.stack(DL, axis=0)
+                DvC = jnp.stack(DC, axis=0)
+                flvF = jnp.stack([frictionloss[i] for i in fd], axis=0)
+                DvF = C["fricD"]
+                RvFh = C["fricRh"]
+
+                def dof_loc(dof):
+                    if FB[0] <= dof < FB[1]:
+                        return -1, dof - FB[0]
+                    for ci5, (a_, e_) in enumerate(CHAINS):
+                        if a_ <= dof < e_:
+                            return ci5, dof - a_
+                    raise AssertionError(dof)
+
+                sloc = [dof_loc(d) for d in sdofs]
+
+                def srow(xx, i):
+                    ci5, k = sloc[i]
+                    return (xx[0] if ci5 < 0 else xx[1][ci5])[k]
+
+                def jmul(xx):
+                    jf = jnp.stack(
+                        [srow(xx, i) for i in range(nfric)], axis=0
+                    )
+                    jl = jnp.stack(
+                        [
+                            coefL[i] * srow(xx, nfric + i)
+                            for i in range(nlim)
+                        ],
+                        axis=0,
+                    )
+                    xF = xx[0]
+                    jc = jnp.stack(
                         [
                             jnp.sum(JF_rows[e] * xF, axis=0)
                             + jnp.sum(
-                                JC_rows[e]
-                                * x[CHAINS[row_chain[e]][0] : CHAINS[row_chain[e]][1]],
-                                axis=0,
+                                JC_rows[e] * xx[1][row_chain[e]], axis=0
                             )
                             for e in range(ncon * 4)
                         ],
                         axis=0,
                     )
-                else:
-                    con = jnp.sum(Jc * x[None], axis=1)
-                return jnp.concatenate([single, con], axis=0)
+                    return jf, jl, jc
 
-            def jtmul(y):
-                rows: List = [zeroT] * nv
-                for i in range(nsingle):
-                    rows[sdofs[i]] = rows[sdofs[i]] + scoef[i] * y[i]
-                out = jnp.stack(rows, axis=0)
-                if USE_BLOCK:
-                    accF = jnp.zeros((FB[1] - FB[0],) + tail, f32)
-                    accC = [
-                        jnp.zeros((e_ - a_,) + tail, f32) for a_, e_ in CHAINS
+                def jar_of(xx):
+                    jf, jl, jc = jmul(xx)
+                    return jf - arF_st, jl - arL_st, jc - arC_st
+
+                def jtmul(gg):
+                    gf, gl, gc = gg
+                    rowsF: List = [zeroT] * (FB[1] - FB[0])
+                    rowsC: List = [
+                        [zeroT] * (e_ - a_) for a_, e_ in CHAINS
                     ]
-                    for e in range(ncon * 4):
-                        yv = y[nsingle + e][None]
-                        accF = accF + JF_rows[e] * yv
-                        ci2 = row_chain[e]
-                        accC[ci2] = accC[ci2] + JC_rows[e] * yv
-                    return out + jnp.concatenate([accF] + accC, axis=0)
-                for e in range(ncon * 4):
-                    out = out + Jc[e] * y[nsingle + e][None]
-                return out
 
-            def mmul(x):
-                if USE_BLOCK:
+                    def _rows(ci5):
+                        return rowsF if ci5 < 0 else rowsC[ci5]
+
+                    for i in range(nfric):
+                        ci5, k = sloc[i]
+                        _rows(ci5)[k] = _rows(ci5)[k] + gf[i]
+                    for i in range(nlim):
+                        ci5, k = sloc[nfric + i]
+                        _rows(ci5)[k] = _rows(ci5)[k] + coefL[i] * gl[i]
+                    outF = jnp.stack(rowsF, axis=0)
+                    outC = [jnp.stack(r_, axis=0) for r_ in rowsC]
+                    for e in range(ncon * 4):
+                        yv = gc[e][None]
+                        outF = outF + JF_rows[e] * yv
+                        ci5 = row_chain[e]
+                        outC[ci5] = outC[ci5] + JC_rows[e] * yv
+                    return outF, outC
+
+                def mmul(xx):
                     Mcc, Mcf, Mff = Mb
-                    xF = x[FB[0] : FB[1]]
+                    xF = xx[0]
                     yF = jnp.sum(Mff * xF[None], axis=1)
                     ys = []
-                    for ci3, (a_, e_) in enumerate(CHAINS):
-                        xc = x[a_:e_]
+                    for ci3, xc in enumerate(xx[1]):
                         ys.append(
                             jnp.sum(Mcc[ci3] * xc[None], axis=1)
                             + jnp.sum(Mcf[ci3] * xF[None], axis=1)
                         )
                         # panel^T contribution, unrolled (Mosaic lacks the
                         # 3D axis-0 reduction this would otherwise need)
-                        for k in range(e_ - a_):
+                        for k in range(xc.shape[0]):
                             yF = yF + Mcf[ci3][k] * xc[k][None]
-                    return jnp.concatenate([yF] + ys, axis=0)
-                return jnp.sum(M * x[None], axis=1)
+                    return yF, ys
 
-            def force_hess(jar):
-                quad_f = Dv * jar
-                uni_g = jnp.where(jar < 0, quad_f, 0.0)
-                uni_h = jnp.where(jar < 0, Dv, 0.0)
-                fr_g = jnp.clip(quad_f, -flv, flv)
-                fr_h = jnp.where(jnp.abs(quad_f) < flv, Dv, 0.0)
-                gg = fric_sel * fr_g + (1 - fric_sel) * uni_g
-                hh = fric_sel * fr_h + (1 - fric_sel) * uni_h
-                return gg, hh
+                def force_hess(jar):
+                    jf, jl, jc = jar
+                    qf = DvF * jf
+                    gf = jnp.clip(qf, -flvF, flvF)
+                    hf_ = jnp.where(jnp.abs(qf) < flvF, DvF, 0.0)
+                    ml_ = jl < 0
+                    gl = jnp.where(ml_, DvL * jl, 0.0)
+                    hl = jnp.where(ml_, DvL, 0.0)
+                    mc_ = jc < 0
+                    gc = jnp.where(mc_, DvC * jc, 0.0)
+                    hc = jnp.where(mc_, DvC, 0.0)
+                    return (gf, gl, gc), (hf_, hl, hc)
 
-            def cost(x):
-                jar = jmul(x) - aref
-                quad = 0.5 * Dv * jar * jar
-                uni = jnp.where(jar < 0, quad, 0.0)
-                lin = flv * jnp.abs(jar) - 0.5 * flv * flv * Rv
-                fr = jnp.where(jnp.abs(Dv * jar) < flv, quad, lin)
-                ccost = jnp.sum(fric_sel * fr + (1 - fric_sel) * uni, axis=0)
-                dx = x - qacc_smooth
-                return 0.5 * jnp.sum(dx * mmul(dx), axis=0) + ccost
+                def ccost(jar):
+                    # constraint-space cost only (the M half is added by the
+                    # callers that need it — it is identically 0 at
+                    # x = qacc_smooth)
+                    jf, jl, jc = jar
+                    qf = DvF * jf
+                    fr = jnp.where(
+                        jnp.abs(qf) < flvF,
+                        0.5 * qf * jf,
+                        flvF * jnp.abs(jf) - RvFh * flvF * flvF,
+                    )
+                    ul = jnp.where(jl < 0, (0.5 * DvL) * jl * jl, 0.0)
+                    uc = jnp.where(jc < 0, (0.5 * DvC) * jc * jc, 0.0)
+                    return (
+                        jnp.sum(fr, axis=0)
+                        + jnp.sum(ul, axis=0)
+                        + jnp.sum(uc, axis=0)
+                    )
 
-            c_w = cost(warm)
-            c_s = cost(qacc_smooth)
-            x = jnp.where((c_w < c_s)[None], warm, qacc_smooth)
+                ws = seg_split(warm)
+                dws = seg_sub(ws, qs_seg)
+                c_w = ccost(jar_of(ws)) + 0.5 * seg_dot(dws, mmul(dws))
+                c_s = ccost(jar_of(qs_seg))
+                sel_w = (c_w < c_s)[None]
+                x = (
+                    jnp.where(sel_w, ws[0], qs_seg[0]),
+                    [
+                        jnp.where(sel_w, u, v)
+                        for u, v in zip(ws[1], qs_seg[1])
+                    ],
+                )
 
-            for _ in range(iterations):
-                jar = jmul(x) - aref
-                gg, hh = force_hess(jar)
-                grad = mmul(x - qacc_smooth) + jtmul(gg)
-                # dof-friction and joint-limit rows have single-dof Jacobians
-                # (+-e_dof), so their J^T diag(h) J contribution is purely
-                # diagonal; only contact rows need rank-1 outer products.
-                hd_rows = [zeroT] * nv
-                for e, dof in enumerate(fd + lim_d):
-                    hd_rows[dof] = hd_rows[dof] + hh[e]
-                hdiag = jnp.stack(hd_rows, axis=0)  # (nv, T)
-                if USE_BLOCK:
-                    # Contact rows have static support F ∪ chain(foot): the
-                    # J^T diag(h) J update only touches that foot's chain
-                    # block, its chain-root panel, and the root block —
-                    # (nc+nF)^2 work per row instead of nv^2.
-                    Acc, Acf, Aff = block_slices(Mb, hdiag)
+                for _ in range(iterations):
+                    jar = jar_of(x)
+                    gg, hh = force_hess(jar)
+                    mdx = mmul(seg_sub(x, qs_seg))
+                    grad = seg_add(mdx, jtmul(gg))
+                    # dof-friction and joint-limit rows have single-dof
+                    # Jacobians (+-e_dof): their J^T diag(h) J contribution
+                    # is purely diagonal; only contact rows need rank-1
+                    # outer products — and those touch only the LOWER
+                    # triangle (trailing columns) the factorization reads.
+                    hf_, hl, hc = hh
+                    hdF: List = [None] * (FB[1] - FB[0])
+                    hdC: List = [[None] * (e_ - a_) for a_, e_ in CHAINS]
+
+                    def _hrows(ci5):
+                        return hdF if ci5 < 0 else hdC[ci5]
+
+                    for i in range(nfric):
+                        ci5, k = sloc[i]
+                        prev = _hrows(ci5)[k]
+                        _hrows(ci5)[k] = (
+                            hf_[i] if prev is None else prev + hf_[i]
+                        )
+                    for i in range(nlim):
+                        ci5, k = sloc[nfric + i]
+                        prev = _hrows(ci5)[k]
+                        _hrows(ci5)[k] = (
+                            hl[i] if prev is None else prev + hl[i]
+                        )
+
+                    def hcols(blk, hrows):
+                        # trailing cols of blk with per-dof diagonal adds
+                        n_ = blk.shape[0]
+                        cols = []
+                        for j in range(n_):
+                            cj = blk[j:, j]
+                            if hrows[j] is not None:
+                                d0 = (cj[0] + hrows[j])[None]
+                                cj = (
+                                    jnp.concatenate([d0, cj[1:]], axis=0)
+                                    if n_ - j > 1
+                                    else d0
+                                )
+                            cols.append(cj)
+                        return cols
+
+                    Mcc, Mcf, Mff = Mb
+                    AccH = [
+                        hcols(Mcc[ci5], hdC[ci5])
+                        for ci5 in range(len(CHAINS))
+                    ]
+                    AcfH = list(Mcf)
+                    AffH = hcols(Mff, hdF)
                     for e in range(ncon * 4):
-                        ci = row_chain[e]
-                        h = hh[nsingle + e]
+                        ci5 = row_chain[e]
+                        h = hc[e]
                         jCh = JC_rows[e]
                         jF = JF_rows[e]
                         hjC = h[None] * jCh
-                        Acc[ci] = Acc[ci] + hjC[:, None] * jCh[None]
-                        Acf[ci] = Acf[ci] + hjC[:, None] * jF[None]
-                        Aff = Aff + (h[None] * jF)[:, None] * jF[None]
-                    dxn = -block_solve(block_factor(Acc, Acf, Aff), grad)
-                else:
+                        AccH[ci5] = [
+                            AccH[ci5][j] + hjC[j:] * jCh[j][None]
+                            for j in range(len(AccH[ci5]))
+                        ]
+                        AcfH[ci5] = AcfH[ci5] + hjC[:, None] * jF[None]
+                        hjF = h[None] * jF
+                        AffH = [
+                            AffH[j] + hjF[j:] * jF[j][None]
+                            for j in range(len(AffH))
+                        ]
+                    ngF, ngs = grad
+                    dxn = block_solve(
+                        block_factor(AccH, AcfH, AffH),
+                        (-ngF, [-u for u in ngs]),
+                    )
+                    jvf, jvl, jvc = jmul(dxn)
+                    mv = mmul(dxn)
+                    g0 = seg_dot(dxn, mdx)
+                    hq = seg_dot(dxn, mv)
+                    # linesearch over the 1-D piecewise-quadratic: work in
+                    # t = D*(jar + alpha*jv) per class, with D*jar, D*jv,
+                    # D*jv^2 hoisted out of the alpha loop
+                    jf0, jl0, jc0 = jar
+                    qf0 = DvF * jf0
+                    qvf = DvF * jvf
+                    Dj2f = qvf * jvf
+                    ql0 = DvL * jl0
+                    qvl = DvL * jvl
+                    Dj2l = qvl * jvl
+                    qc0 = DvC * jc0
+                    qvc = DvC * jvc
+                    Dj2c = qvc * jvc
+                    alpha = zeroT
+                    for _ in range(ls_iterations):
+                        tf = qf0 + alpha[None] * qvf
+                        tl = ql0 + alpha[None] * qvl
+                        tc = qc0 + alpha[None] * qvc
+                        mf_ = jnp.abs(tf) < flvF
+                        ml_ = tl < 0
+                        mc_ = tc < 0
+                        gjv = (
+                            jnp.sum(
+                                jnp.clip(tf, -flvF, flvF) * jvf, axis=0
+                            )
+                            + jnp.sum(jnp.where(ml_, tl * jvl, 0.0), axis=0)
+                            + jnp.sum(jnp.where(mc_, tc * jvc, 0.0), axis=0)
+                        )
+                        hjv2 = (
+                            jnp.sum(jnp.where(mf_, Dj2f, 0.0), axis=0)
+                            + jnp.sum(jnp.where(ml_, Dj2l, 0.0), axis=0)
+                            + jnp.sum(jnp.where(mc_, Dj2c, 0.0), axis=0)
+                        )
+                        dphi = g0 + alpha * hq + gjv
+                        ddphi = hq + hjv2
+                        alpha = alpha - dphi / jnp.maximum(ddphi, 1e-12)
+                    x = (
+                        x[0] + alpha[None] * dxn[0],
+                        [
+                            u + alpha[None] * v
+                            for u, v in zip(x[1], dxn[1])
+                        ],
+                    )
+
+                qacc = seg_cat(x)
+            else:
+                # ----- dense fallback (models without block-arrow shape)
+                scoef: List = [oneT] * nfric + coefL
+                Jc = jnp.stack(J_rows, axis=0)  # (ncon*4, nv, T) dense rows
+                aref = jnp.stack(arF + arL + arC, axis=0)
+                Dv = jnp.stack(
+                    [fric_D[i] * oneT for i in range(nfric)] + DL + DC,
+                    axis=0,
+                )
+                Rv = jnp.stack(
+                    [fric_R[i] * oneT for i in range(nfric)] + RL + RC,
+                    axis=0,
+                )
+                flv = jnp.concatenate(
+                    [
+                        jnp.stack([frictionloss[i] for i in fd], axis=0),
+                        jnp.zeros_like(Dv[: nlim + ncon * 4]),
+                    ],
+                    axis=0,
+                )
+                fric_sel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (nefc,) + E1, 0)
+                    < nfric
+                ).astype(f32)
+
+                def jmul(x):
+                    single = jnp.stack(
+                        [scoef[i] * x[sdofs[i]] for i in range(nsingle)],
+                        axis=0,
+                    )
+                    con = jnp.sum(Jc * x[None], axis=1)
+                    return jnp.concatenate([single, con], axis=0)
+
+                def jtmul(y):
+                    rows: List = [zeroT] * nv
+                    for i in range(nsingle):
+                        rows[sdofs[i]] = rows[sdofs[i]] + scoef[i] * y[i]
+                    out = jnp.stack(rows, axis=0)
+                    for e in range(ncon * 4):
+                        out = out + Jc[e] * y[nsingle + e][None]
+                    return out
+
+                def mmul(x):
+                    return jnp.sum(M * x[None], axis=1)
+
+                def force_hess(jar):
+                    quad_f = Dv * jar
+                    uni_g = jnp.where(jar < 0, quad_f, 0.0)
+                    uni_h = jnp.where(jar < 0, Dv, 0.0)
+                    fr_g = jnp.clip(quad_f, -flv, flv)
+                    fr_h = jnp.where(jnp.abs(quad_f) < flv, Dv, 0.0)
+                    gg = fric_sel * fr_g + (1 - fric_sel) * uni_g
+                    hh = fric_sel * fr_h + (1 - fric_sel) * uni_h
+                    return gg, hh
+
+                def cost(x):
+                    jar = jmul(x) - aref
+                    quad = 0.5 * Dv * jar * jar
+                    uni = jnp.where(jar < 0, quad, 0.0)
+                    lin = flv * jnp.abs(jar) - 0.5 * flv * flv * Rv
+                    fr = jnp.where(jnp.abs(Dv * jar) < flv, quad, lin)
+                    ccost = jnp.sum(
+                        fric_sel * fr + (1 - fric_sel) * uni, axis=0
+                    )
+                    dx = x - qacc_smooth
+                    return 0.5 * jnp.sum(dx * mmul(dx), axis=0) + ccost
+
+                c_w = cost(warm)
+                c_s = cost(qacc_smooth)
+                x = jnp.where((c_w < c_s)[None], warm, qacc_smooth)
+
+                for _ in range(iterations):
+                    jar = jmul(x) - aref
+                    gg, hh = force_hess(jar)
+                    grad = mmul(x - qacc_smooth) + jtmul(gg)
+                    hd_rows = [zeroT] * nv
+                    for e, dof in enumerate(fd + lim_d):
+                        hd_rows[dof] = hd_rows[dof] + hh[e]
+                    hdiag = jnp.stack(hd_rows, axis=0)  # (nv, T)
                     H = M + C["eye_nv1"] * hdiag[:, None]
                     for e in range(ncon * 4):
                         Je = Jc[e]
                         H = H + (hh[nsingle + e] * Je[:, None]) * Je[None]
                     Lh = chol(H)
                     dxn = -chol_solve(Lh, grad)
-                jv = jmul(dxn)
-                mv = mmul(dxn)
-                g0 = jnp.sum(dxn * mmul(x - qacc_smooth), axis=0)
-                hq = jnp.sum(dxn * mv, axis=0)
-                alpha = zeroT
-                for _ in range(ls_iterations):
-                    jar_a = jar + alpha[None] * jv
-                    gg, hh = force_hess(jar_a)
-                    dphi = g0 + alpha * hq + jnp.sum(jv * gg, axis=0)
-                    ddphi = hq + jnp.sum(hh * jv * jv, axis=0)
-                    alpha = alpha - dphi / jnp.maximum(ddphi, 1e-12)
-                x = x + alpha[None] * dxn
+                    jv = jmul(dxn)
+                    mv = mmul(dxn)
+                    g0 = jnp.sum(dxn * mmul(x - qacc_smooth), axis=0)
+                    hq = jnp.sum(dxn * mv, axis=0)
+                    alpha = zeroT
+                    for _ in range(ls_iterations):
+                        jar_a = jar + alpha[None] * jv
+                        gg, hh = force_hess(jar_a)
+                        dphi = g0 + alpha * hq + jnp.sum(jv * gg, axis=0)
+                        ddphi = hq + jnp.sum(hh * jv * jv, axis=0)
+                        alpha = alpha - dphi / jnp.maximum(ddphi, 1e-12)
+                    x = x + alpha[None] * dxn
 
-            qacc = x
+                qacc = x
 
             # ----- sensors
             site_xpos_l, site_xmat_l, site_xquat_l = [], [], []
@@ -1431,9 +1746,20 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
                 out["dbg_qfrc_bias"] = qfrc_bias
                 out["dbg_qfrc_smooth"] = qfrc_smooth
                 out["dbg_mdiag"] = armature + mdiag  # = diag(M)
-                out["dbg_aref"] = aref
-                out["dbg_D"] = Dv
-                out["dbg_grad0"] = jtmul(force_hess(jmul(x) - aref)[0])
+                if USE_BLOCK:
+                    out["dbg_aref"] = jnp.concatenate(
+                        [arF_st, arL_st, arC_st], axis=0
+                    )
+                    out["dbg_D"] = jnp.concatenate(
+                        [DvF + 0.0 * arF_st, DvL, DvC], axis=0
+                    )
+                    out["dbg_grad0"] = seg_cat(
+                        jtmul(force_hess(jar_of(x))[0])
+                    )
+                else:
+                    out["dbg_aref"] = aref
+                    out["dbg_D"] = Dv
+                    out["dbg_grad0"] = jtmul(force_hess(jmul(x) - aref)[0])
             return out
 
         def integrate(qpos, qvel, qacc):

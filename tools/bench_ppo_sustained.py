@@ -54,11 +54,18 @@ def main():
         progress_fn=progress,
         max_env_steps_per_jit=8_192_000,
     )
+    import jax
+
+    n_chips = jax.device_count()
     tail = times[1:] if len(times) > 1 else times
     tot_s = sum(s for s, _ in tail)
     tot_t = sum(t for _, t in tail)
-    rate = tot_s / tot_t
-    print(f"SUSTAINED: {rate:,.0f} env steps/s (excl. first timed chunk)")
+    # progress_fn's num_steps counts GLOBAL env steps across the whole device
+    # mesh (ppo.train shards num_envs over it), so divide by the chip count to
+    # report the same per-chip unit bench.py uses.
+    rate = tot_s / tot_t / n_chips
+    print(f"SUSTAINED: {rate:,.0f} env steps/s/chip over {n_chips} chip(s) "
+          f"(excl. first timed chunk)")
     # machine-checkable artifact next to BENCH_r*.json (one JSON line)
     import json
 
@@ -66,10 +73,14 @@ def main():
         "metric": "sustained_ppo_env_steps_per_sec_per_chip",
         "value": round(rate),
         "unit": "env_steps/s/chip",
+        "n_chips": n_chips,
         "task": args.task,
         "timesteps": args.timesteps,
+        # chunk steps are global (all-chip) counts; the first timed chunk is
+        # warmup and excluded from "value".
         "chunks": [
-            {"steps": s, "seconds": round(t, 3)} for s, t in times
+            {"steps": s, "seconds": round(t, 3), "warmup": i == 0}
+            for i, (s, t) in enumerate(times)
         ],
     }
     print(json.dumps(record), flush=True)

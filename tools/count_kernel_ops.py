@@ -126,14 +126,20 @@ def main() -> None:
     cnt: Counter = Counter()
     slots: Counter = Counter()
 
-    def walk(jx):
+    def walk(jx, mult=1):
         for eqn in jx.eqns:
-            cnt[eqn.primitive.name] += 1
+            cnt[eqn.primitive.name] += mult
             if args.slots:
-                slots[eqn.primitive.name] += _eqn_slots(eqn)
+                slots[eqn.primitive.name] += mult * _eqn_slots(eqn)
+            # a loop body is traced ONCE in the jaxpr but executes
+            # `length` times — scale it (the substep fori_loop lowers to
+            # scan), else the census undercounts the kernel ~n_substeps x
+            inner_mult = mult
+            if eqn.primitive.name == "scan":
+                inner_mult = mult * int(eqn.params.get("length", 1))
             for v in eqn.params.values():
                 if hasattr(v, "jaxpr"):
-                    walk(v.jaxpr)
+                    walk(v.jaxpr, inner_mult)
 
     walk(pallas[0].params["jaxpr"])
     print(
