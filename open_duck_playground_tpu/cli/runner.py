@@ -91,7 +91,10 @@ class Runner:
                 self.max_env_steps_per_jit = 4_000_000
             else:
                 self.max_env_steps_per_jit = 8_192_000
-        self.ppo_params = ppo_config(num_timesteps=args.num_timesteps)
+        self.ppo_params = ppo_config(
+            num_timesteps=args.num_timesteps,
+            seed=getattr(args, "seed", 0),
+        )
         self.action_size = self.env.action_size
         self.obs_size = None  # filled in train()
 
@@ -181,6 +184,13 @@ def main(argv=None) -> None:
         ],
     )
     parser.add_argument("--restore_checkpoint_path", type=str, default=None)
+    parser.add_argument(
+        "--seed",
+        type=int,
+        default=0,
+        help="PPO RNG seed (brax ppo.train default 0); drives env resets, "
+        "domain randomization, minibatch shuffling and network init",
+    )
     parser.add_argument(
         "--config_override",
         action="append",

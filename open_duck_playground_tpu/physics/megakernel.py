@@ -525,7 +525,7 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
         f32 = jnp.float32
         anc = C["anc_mask"]
 
-        def forward_lane(qpos, qvel, warm):
+        def forward_lane(qpos, qvel, warm, with_sensors=True):
             zeroT = qpos[0] * 0.0
             oneT = zeroT + 1.0
             zero3 = jnp.stack([zeroT, zeroT, zeroT])
@@ -1218,10 +1218,10 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
             # cross per facet instead of materializing the (nv,3,T) point
             # Jacobian per contact. Under USE_BLOCK rows are kept compact on
             # their static support (root block + own chain block).
-            JF_rows: List = []  # (nF,T) root-block part, per contact row
-            JC_rows: List = []  # (nc,T) own-chain part, per contact row
-            J_rows: List = []  # dense (nv,T) rows (non-block fallback)
-            row_chain: List[int] = []
+            conBF: List = []  # per contact: [Bn,Bt1,Bt2] root parts (nF,T)
+            conBC: List = []  # per contact: base-row chain parts (nc,T)
+            con_chain: List[int] = []
+            J_rows: List = []  # dense (nv,T) facet rows (non-block fallback)
             arC: List = []
             DC: List = []
             RC: List = []
@@ -1240,11 +1240,13 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
                 r = jnp.maximum((1 - imp) / imp * diag, _MINVAL)
                 pc = p - com
                 if USE_BLOCK:
+                    # the 4 pyramid facets J = Jn ± mu*Jt1/t2 are mu-combos
+                    # of THREE base rows — build and keep only the base
+                    # rows; jmul/jtmul/Hessian below stay in base space
                     chi = foot_chain[fi]
                     ca_, ce_ = CHAINS[chi]
-                for t_vec in (t1, t2):
-                    for sgn in (1.0, -1.0):
-                        d_vec = nrm_c + sgn * mu[None] * t_vec
+                    BF, BC, bvel = [], [], []
+                    for d_vec in (nrm_c, t1, t2):
                         m_vec = lcross(pc, d_vec)
 
                         def jpart(a2, e2, d_vec=d_vec, m_vec=m_vec):
@@ -1258,27 +1260,58 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
                                 out = out * msk.reshape((-1,) + E1)
                             return out
 
-                        if USE_BLOCK:
-                            jFr = jnp.where(
-                                active[None], jpart(FB[0], FB[1]), 0.0
-                            )
-                            jCr = jnp.where(active[None], jpart(ca_, ce_), 0.0)
-                            vel = jnp.sum(
-                                jFr * qvel[FB[0] : FB[1]], axis=0
-                            ) + jnp.sum(jCr * qvel[ca_:ce_], axis=0)
-                            JF_rows.append(jFr)
-                            JC_rows.append(jCr)
-                            row_chain.append(chi)
-                        else:
+                        bF = jnp.where(
+                            active[None], jpart(FB[0], FB[1]), 0.0
+                        )
+                        bC = jnp.where(active[None], jpart(ca_, ce_), 0.0)
+                        BF.append(bF)
+                        BC.append(bC)
+                        bvel.append(
+                            jnp.sum(bF * qvel[FB[0] : FB[1]], axis=0)
+                            + jnp.sum(bC * qvel[ca_:ce_], axis=0)
+                        )
+                    conBF.append(BF)
+                    conBC.append(BC)
+                    con_chain.append(chi)
+                    mv1 = mu * bvel[1]
+                    mv2 = mu * bvel[2]
+                    vels = [
+                        bvel[0] + mv1,
+                        bvel[0] - mv1,
+                        bvel[0] + mv2,
+                        bvel[0] - mv2,
+                    ]
+                    for vel in vels:
+                        aref = -b_con * vel - k_con * imp * dist
+                        arC.append(jnp.where(active, aref, 0.0))
+                        DC.append(jnp.where(active, 1.0 / r, 0.0))
+                        RC.append(r)
+                else:
+                    for t_vec in (t1, t2):
+                        for sgn in (1.0, -1.0):
+                            d_vec = nrm_c + sgn * mu[None] * t_vec
+                            m_vec = lcross(pc, d_vec)
+
+                            def jpart(a2, e2, d_vec=d_vec, m_vec=m_vec):
+                                out = jnp.sum(
+                                    dv[a2:e2] * d_vec[None]
+                                    + dw[a2:e2] * m_vec[None],
+                                    axis=1,
+                                )
+                                msk = anc_np[b, a2:e2]
+                                if not msk.all():
+                                    out = out * msk.reshape((-1,) + E1)
+                                return out
+
                             Jrow = jnp.where(
                                 active[None], jpart(0, nv), 0.0
                             )
                             vel = jnp.sum(Jrow * qvel, axis=0)
                             J_rows.append(Jrow)
-                        aref = -b_con * vel - k_con * imp * dist
-                        arC.append(jnp.where(active, aref, 0.0))
-                        DC.append(jnp.where(active, 1.0 / r, 0.0))
-                        RC.append(r)
+                            aref = -b_con * vel - k_con * imp * dist
+                            arC.append(jnp.where(active, aref, 0.0))
+                            DC.append(jnp.where(active, 1.0 / r, 0.0))
+                            RC.append(r)
 
             sdofs = fd + lim_d  # static dof index per single row
             nsingle = nfric + nlim
@@ -1323,16 +1356,23 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
                         axis=0,
                     )
                     xF = xx[0]
-                    jc = jnp.stack(
-                        [
-                            jnp.sum(JF_rows[e] * xF, axis=0)
-                            + jnp.sum(
-                                JC_rows[e] * xx[1][row_chain[e]], axis=0
-                            )
-                            for e in range(ncon * 4)
-                        ],
-                        axis=0,
-                    )
+                    jc_rows: List = []
+                    for ci5 in range(ncon):
+                        BF, BC = conBF[ci5], conBC[ci5]
+                        xc = xx[1][con_chain[ci5]]
+                        un = jnp.sum(BF[0] * xF, axis=0) + jnp.sum(
+                            BC[0] * xc, axis=0
+                        )
+                        m1 = floor_mu * (
+                            jnp.sum(BF[1] * xF, axis=0)
+                            + jnp.sum(BC[1] * xc, axis=0)
+                        )
+                        m2 = floor_mu * (
+                            jnp.sum(BF[2] * xF, axis=0)
+                            + jnp.sum(BC[2] * xc, axis=0)
+                        )
+                        jc_rows += [un + m1, un - m1, un + m2, un - m2]
+                    jc = jnp.stack(jc_rows, axis=0)
                     return jf, jl, jc
 
                 def jar_of(xx):
@@ -1357,11 +1397,21 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
                         _rows(ci5)[k] = _rows(ci5)[k] + coefL[i] * gl[i]
                     outF = jnp.stack(rowsF, axis=0)
                     outC = [jnp.stack(r_, axis=0) for r_ in rowsC]
-                    for e in range(ncon * 4):
-                        yv = gc[e][None]
-                        outF = outF + JF_rows[e] * yv
-                        ci5 = row_chain[e]
-                        outC[ci5] = outC[ci5] + JC_rows[e] * yv
+                    for ci5 in range(ncon):
+                        y0, y1, y2, y3 = (
+                            gc[4 * ci5 + k] for k in range(4)
+                        )
+                        sn = ((y0 + y1) + (y2 + y3))[None]
+                        s1 = (floor_mu * (y0 - y1))[None]
+                        s2 = (floor_mu * (y2 - y3))[None]
+                        BF, BC = conBF[ci5], conBC[ci5]
+                        ch = con_chain[ci5]
+                        outF = (
+                            outF + BF[0] * sn + BF[1] * s1 + BF[2] * s2
+                        )
+                        outC[ch] = (
+                            outC[ch] + BC[0] * sn + BC[1] * s1 + BC[2] * s2
+                        )
                     return outF, outC
 
                 def mmul(xx):
@@ -1478,22 +1528,63 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
                     ]
                     AcfH = list(Mcf)
                     AffH = hcols(Mff, hdF)
-                    for e in range(ncon * 4):
-                        ci5 = row_chain[e]
-                        h = hc[e]
-                        jCh = JC_rows[e]
-                        jF = JF_rows[e]
-                        hjC = h[None] * jCh
-                        AccH[ci5] = [
-                            AccH[ci5][j] + hjC[j:] * jCh[j][None]
-                            for j in range(len(AccH[ci5]))
+                    for ci5 in range(ncon):
+                        # facet-space J^T diag(h) J folded to base space:
+                        # with facets F = P B (P the 4x3 mu-combo matrix),
+                        # the update is B^T G B, G = P^T diag(h) P — a 3x3
+                        # PSD matrix with G[1,2]=0. Factor G = L L^T and
+                        # add the THREE combined rows C = L^T B as plain
+                        # symmetric rank-1s (3 outer products instead of 4,
+                        # on the lower-triangle columns only).
+                        h0, h1, h2, h3 = (
+                            hc[4 * ci5 + k] for k in range(4)
+                        )
+                        mu2 = floor_mu * floor_mu
+                        g00 = (h0 + h1) + (h2 + h3)
+                        g01 = floor_mu * (h0 - h1)
+                        g02 = floor_mu * (h2 - h3)
+                        g11 = mu2 * (h0 + h1)
+                        g22 = mu2 * (h2 + h3)
+                        r11 = jax.lax.rsqrt(jnp.maximum(g00, 1e-30))
+                        l11 = g00 * r11
+                        l21 = g01 * r11
+                        l31 = g02 * r11
+                        d2 = jnp.maximum(g11 - l21 * l21, 0.0)
+                        r22 = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+                        l22 = d2 * r22
+                        # G[1,2] = 0 (t1/t2 facet pairs share no h terms)
+                        l32 = -(l21 * l31) * r22
+                        d3 = jnp.maximum(
+                            g22 - l31 * l31 - l32 * l32, 0.0
+                        )
+                        l33 = d3 * jax.lax.rsqrt(jnp.maximum(d3, 1e-30))
+                        BF, BC = conBF[ci5], conBC[ci5]
+                        ch = con_chain[ci5]
+                        crows = [
+                            (
+                                l11[None] * BF[0]
+                                + l21[None] * BF[1]
+                                + l31[None] * BF[2],
+                                l11[None] * BC[0]
+                                + l21[None] * BC[1]
+                                + l31[None] * BC[2],
+                            ),
+                            (
+                                l22[None] * BF[1] + l32[None] * BF[2],
+                                l22[None] * BC[1] + l32[None] * BC[2],
+                            ),
+                            (l33[None] * BF[2], l33[None] * BC[2]),
                         ]
-                        AcfH[ci5] = AcfH[ci5] + hjC[:, None] * jF[None]
-                        hjF = h[None] * jF
-                        AffH = [
-                            AffH[j] + hjF[j:] * jF[j][None]
-                            for j in range(len(AffH))
-                        ]
+                        for cF, cC in crows:
+                            AccH[ch] = [
+                                AccH[ch][j] + cC[j:] * cC[j][None]
+                                for j in range(len(AccH[ch]))
+                            ]
+                            AcfH[ch] = AcfH[ch] + cC[:, None] * cF[None]
+                            AffH = [
+                                AffH[j] + cF[j:] * cF[j][None]
+                                for j in range(len(AffH))
+                            ]
                     ngF, ngs = grad
                     dxn = block_solve(
                         block_factor(AccH, AcfH, AffH),
@@ -1648,7 +1739,17 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
 
                 qacc = x
 
-            # ----- sensors
+            # ----- sensors. Derived quantities (sensordata, site poses)
+            # describe the START of a substep and feed nothing downstream
+            # inside the kernel, so only the LAST substep needs them — the
+            # first n-1 substeps skip this whole section (with_sensors=False)
+            # and pass the stale carry values through.
+            if not with_sensors:
+                return dict(
+                    qacc=qacc,
+                    actuator_force=force,
+                    contact_dist=contact_dist,
+                )
             site_xpos_l, site_xmat_l, site_xquat_l = [], [], []
             for i in range(s.nsite):
                 b = s.site_bodyid[i]
@@ -1790,10 +1891,19 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
                     segs.append(qpos[qadr : qadr + 1] + dt * qvel_n[dadr : dadr + 1])
             return jnp.concatenate(segs, axis=0), qvel_n
 
-        def substep(_, carry):
+        def substep(_, carry, with_sensors=True):
             qpos, qvel, warm = carry[:3]
-            out = forward_lane(qpos, qvel, warm)
+            out = forward_lane(
+                qpos, qvel, warm, with_sensors=with_sensors or DEBUG
+            )
             qpos_n, qvel_n = integrate(qpos, qvel, out["qacc"])
+            if not (with_sensors or DEBUG):
+                # intermediate substep: site/sensor slots ride the carry
+                return (
+                    qpos_n, qvel_n, out["qacc"], out["qacc"], carry[4],
+                    carry[5], out["actuator_force"], out["contact_dist"],
+                    carry[8],
+                )
             res = (
                 qpos_n, qvel_n, out["qacc"], out["qacc"], out["site_xpos"],
                 out["site_xmat"], out["actuator_force"], out["contact_dist"],
@@ -1814,7 +1924,15 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
         )
         if DEBUG:
             init = init + (z(nv), z(nv), z(nv), z(nv), z(nefc), z(nefc), z(nv))
-        out = jax.lax.fori_loop(0, n_substeps, substep, init)
+        # n-1 sensor-free substeps in the loop, then one final substep with
+        # the sensor/site tail (the only one whose derived values are read)
+        out = jax.lax.fori_loop(
+            0,
+            n_substeps - 1,
+            lambda i, c: substep(i, c, with_sensors=False),
+            init,
+        )
+        out = substep(0, out, with_sensors=True)
         (qpos_n, qvel_n, warm_n, qacc, sxp, sxm, af, cd, sd) = out[:9]
         vals = (qpos_n, qvel_n, qacc, warm_n, sxp, sxm, af, cd, sd) + tuple(out[9:])
         for ref, val in zip(out_refs, vals):

@@ -102,6 +102,19 @@ def test_megakernel_interpret_matches_engine(scene, tile):
             per_env = np.max(np.abs(a - b), axis=1)
             assert float(np.percentile(per_env, 90)) < p90_tol, (scene, f)
             assert float(per_env.max()) < max_tol, (scene, f)
+        # derived last-substep quantities (the kernel computes these only on
+        # the final substep — a stale/skipped tail would break obs silently)
+        for f, tol in [
+            ("sensordata", 5e-2),
+            ("site_xpos", 1e-4),
+            ("actuator_force", 1e-2),
+        ]:
+            a = np.asarray(getattr(d_mk, f))
+            b = np.asarray(getattr(d_ref, f))
+            per_env = np.max(
+                np.abs(a - b).reshape(a.shape[0], -1), axis=1
+            )
+            assert float(np.percentile(per_env, 90)) < tol, (scene, f)
     finally:
         MK.INTERPRET = old
 
