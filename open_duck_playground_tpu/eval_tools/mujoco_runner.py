@@ -186,17 +186,35 @@ class ClosedLoopRunner:
             self.commands = list(commands)
         n = int(seconds / self.sim_dt)
         heights = []
+        head_errs = []
         for counter in range(1, n + 1):
             mujoco.mj_step(self.model, self.data)
             if counter % self.decimation == 0:
                 self.control_step()
                 heights.append(float(self.data.qpos[2]))
-        return {
+                if self.num_dofs == 14:
+                    # head joints are actuators 5:9, position-commanded by
+                    # command dims 3:7 (reference cost_head_pos semantics)
+                    head_errs.append(
+                        np.abs(
+                            self.data.qpos[self.actuator_qposadr[5:9]]
+                            - np.asarray(self.commands[3:7])
+                        )
+                    )
+        out = {
             "fell": bool(self.data.qpos[2] < 0.1),
             "mean_height": float(np.mean(heights)),
             "final_xy": self.data.qpos[:2].tolist(),
             "saved_obs": self.saved_obs,
         }
+        if head_errs:
+            # settled tracking error: mean |head qpos - commanded| per dim
+            # over the last half of the rollout
+            tail = np.asarray(head_errs[len(head_errs) // 2 :])
+            out["head_track_err"] = [
+                round(float(v), 4) for v in tail.mean(axis=0)
+            ]
+        return out
 
     # ----------------------------------------------------------------- teleop
     def key_callback(self, keycode):
