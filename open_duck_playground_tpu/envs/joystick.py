@@ -83,6 +83,7 @@ def default_config() -> config_dict.ConfigDict:
                 stand_still=-0.2,
                 alive=20.0,
                 imitation=1.0,
+                progress=0.0,  # extension, off for reference parity
             ),
             tracking_sigma=0.01,
         ),
@@ -555,6 +556,13 @@ class Joystick(DuckEnv):
                 self.get_actuator_joints_qvel(data.qvel),
                 self._default_actuator,
                 ignore_head=False,
+            ),
+            # extension (scale 0.0 by default = reference parity): linear
+            # velocity-along-command shaping to break stand-still optima on
+            # fragile variants; enable per-run via
+            # --config_override reward_config.scales.progress=3.0
+            "progress": R.forward_progress(
+                info["command"], self.get_local_linvel(data)
             ),
         }
 

@@ -27,6 +27,22 @@ def tracking_ang_vel(cmd, ang_vel, sigma):
     return _nn(jnp.exp(-jnp.square(cmd[2] - ang_vel[2]) / sigma))
 
 
+def forward_progress(cmd, local_vel):
+    """LINEAR velocity-along-command shaping (this repo's extension, not in
+    the reference — shipped with scale 0.0 for behavioral parity).
+
+    The exp-kernel tracking terms are nearly flat around v=0, which leaves
+    fragile builds (the no-head variant) in a stand-still local optimum;
+    this term pays the commanded-direction velocity component linearly,
+    capped at the commanded speed (no incentive to overshoot) and
+    normalized by it (weight reads as reward-per-unit-fraction-tracked).
+    Zero at zero command."""
+    cn = jnp.linalg.norm(cmd[:2])
+    along = jnp.dot(local_vel[:2], cmd[:2]) / jnp.maximum(cn, 1e-6)
+    frac = jnp.clip(along, 0.0, cn) / jnp.maximum(cn, 1e-6)
+    return _nn(frac * (cn > 0.01))
+
+
 def torques(actuator_force):
     """Sum of squared actuator torques (rewards.py:68-69)."""
     return _nn(jnp.sum(jnp.square(actuator_force)))
@@ -64,14 +80,23 @@ def stand_still(cmd, joints_qpos, joints_qvel, default_pose, ignore_head=False):
     return _nn(pose + vel) * (cmd_norm < 0.01)
 
 
-def head_pos(joints_qpos, joints_qvel, cmd):
+def head_pos(joints_qpos, joints_qvel, cmd, ungated: bool = False):
     """Squared head-joint position error vs the 4 head commands, gated to
-    moving commands (rewards.py:131-147). Head joints sit at slots 5:9."""
+    moving commands (rewards.py:131-147). Head joints sit at slots 5:9.
+
+    LATENT UPSTREAM BUG, replicated by default: the `move_norm > 0.01` gate
+    means this cost is identically ZERO in the standing task (its sampler
+    zeroes the locomotion dims, reference standing.py:647-661) — head
+    tracking is structurally untrained upstream. `ungated=True` (this
+    repo's config-exposed fix, off for parity) drops the gate so the
+    standing task actually trains head-command tracking."""
     del joints_qvel
     if joints_qpos.shape[-1] == 10:  # no-head robot: nothing to track
         return jnp.array(0.0, jnp.float32)
-    move_norm = jnp.linalg.norm(cmd[:3])
     err = jnp.sum(jnp.square(joints_qpos[5:9] - cmd[3:]))
+    if ungated:
+        return _nn(err)
+    move_norm = jnp.linalg.norm(cmd[:3])
     return _nn(err) * (move_norm > 0.01)
 
 

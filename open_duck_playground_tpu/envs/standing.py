@@ -69,6 +69,10 @@ def default_config() -> config_dict.ConfigDict:
         head_yaw_range=[-2.7, 2.7],
         head_roll_range=[-0.5, 0.5],
         head_range_factor=1.0,
+        # False = reference parity (head_pos cost dead in this task, a
+        # latent upstream bug — see rewards.head_pos); True trains real
+        # head-command tracking
+        head_pos_ungated=False,
     )
 
 
@@ -112,6 +116,11 @@ class Standing(Joystick):
                 self.get_actuator_joints_qpos(data.qpos),
                 self.get_actuator_joints_qvel(data.qvel),
                 info["command"],
+                # default False replicates the upstream bug: the cost's
+                # moving-command gate never opens in this task (zero
+                # locomotion commands), so head tracking goes untrained.
+                # --config_override head_pos_ungated=True fixes it.
+                ungated=bool(self._config.get("head_pos_ungated", False)),
             ),
         }
 

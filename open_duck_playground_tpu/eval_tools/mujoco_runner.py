@@ -187,11 +187,22 @@ class ClosedLoopRunner:
         n = int(seconds / self.sim_dt)
         heights = []
         head_errs = []
+        yaws = []
+
+        def _yaw():
+            qw, qx, qy, qz = self.data.qpos[3:7]
+            return float(
+                np.arctan2(
+                    2 * (qw * qz + qx * qy), 1 - 2 * (qy * qy + qz * qz)
+                )
+            )
+
         for counter in range(1, n + 1):
             mujoco.mj_step(self.model, self.data)
             if counter % self.decimation == 0:
                 self.control_step()
                 heights.append(float(self.data.qpos[2]))
+                yaws.append(_yaw())
                 if self.num_dofs == 14:
                     # head joints are actuators 5:9, position-commanded by
                     # command dims 3:7 (reference cost_head_pos semantics)
@@ -205,6 +216,12 @@ class ClosedLoopRunner:
             "fell": bool(self.data.qpos[2] < 0.1),
             "mean_height": float(np.mean(heights)),
             "final_xy": self.data.qpos[:2].tolist(),
+            # cumulative (unwrapped) base heading change over the rollout,
+            # radians — turn-in-place is distinguishable from standing
+            # still, and total/seconds approximates the achieved yaw rate
+            "total_yaw": round(float(np.sum(np.unwrap(yaws)[1:] - np.unwrap(yaws)[:-1])), 3)
+            if len(yaws) > 1
+            else 0.0,
             "saved_obs": self.saved_obs,
         }
         if head_errs:

@@ -65,13 +65,25 @@ def stand_still(cmd, joints_qpos, joints_qvel, default_pose, ignore_head=False):
     return _nn(pose + vel) * (cmd_norm < 0.01)
 
 
-def head_pos(joints_qpos, joints_qvel, cmd):
+def head_pos(joints_qpos, joints_qvel, cmd, ungated=False):
     """Squared head-joint position error vs the 4 head commands
-    (rewards.py:131-147)."""
+    (rewards.py:131-147; `ungated` mirrors the jax extension that fixes
+    the upstream dead-gate bug in the standing task)."""
     del joints_qvel
-    move_norm = np.linalg.norm(cmd[:3])
     err = np.sum(np.square(joints_qpos[5:9] - cmd[3:]))
+    if ungated:
+        return _nn(err)
+    move_norm = np.linalg.norm(cmd[:3])
     return _nn(err) * (move_norm > 0.01)
+
+
+def forward_progress(cmd, local_vel):
+    """numpy mirror of rewards.forward_progress (extension, scale 0.0 by
+    default)."""
+    cn = np.linalg.norm(cmd[:2])
+    along = np.dot(local_vel[:2], cmd[:2]) / max(cn, 1e-6)
+    frac = np.clip(along, 0.0, cn) / max(cn, 1e-6)
+    return _nn(frac * (cn > 0.01))
 
 
 def lin_vel_z(global_linvel):

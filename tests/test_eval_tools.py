@@ -127,6 +127,8 @@ def test_numpy_reward_mirrors_match_jax():
             ("stand_still", (cmd * 0.001, pose14, vel14, f(14), True)),
             ("stand_still", (cmd, pose14, vel14, f(14), False)),
             ("head_pos", (pose14, vel14, cmd)),
+            ("head_pos", (pose14, vel14, cmd, True)),
+            ("forward_progress", (cmd, vel3)),
             ("lin_vel_z", (vel3,)),
             ("ang_vel_xy", (vel3,)),
             ("base_height", (1.3, 1.0)),

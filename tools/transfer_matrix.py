@@ -24,7 +24,7 @@ ROWS = [
     ("forward 0.14 m/s", [0.14, 0, 0, 0, 0, 0, 0], ("x>", 0.5)),
     ("backward 0.10 m/s", [-0.10, 0, 0, 0, 0, 0, 0], ("x<", -0.3)),
     ("lateral 0.20 m/s", [0, 0.20, 0, 0, 0, 0, 0], ("y>", 0.4)),
-    ("turn 1.0 rad/s", [0, 0, 1.0, 0, 0, 0, 0], ("r<", 0.25)),
+    ("turn 1.0 rad/s", [0, 0, 1.0, 0, 0, 0, 0], ("turn", (0.25, 2.0))),
     # head dims are OBSERVATIONS in the joystick task (the reference ships
     # no head-tracking reward there — its joystick.py:419 head override is
     # commented out and cost_head_pos is Standing-only), so the joystick bar
@@ -61,8 +61,13 @@ def run_matrix(onnx_path, model_path, seconds=10.0, standing=False):
                 ok = x < thr
             elif kind == "y>":
                 ok = abs(y) > thr  # lateral sign depends on yaw drift
-            elif kind == "r<":  # turn in place: little translation
+            elif kind == "r<":  # stay in place: little translation
                 ok = (x * x + y * y) ** 0.5 < thr
+            elif kind == "turn":  # rotate in place: yaw accrues, no walk
+                r_thr, yaw_thr = thr
+                ok = (x * x + y * y) ** 0.5 < r_thr and abs(
+                    stats.get("total_yaw", 0.0)
+                ) > yaw_thr
             elif kind == "head<":
                 err = stats.get("head_track_err")
                 ok = err is not None and max(err) < thr
