@@ -100,6 +100,11 @@ def default_config() -> config_dict.ConfigDict:
         head_yaw_range=[-1.5, 1.5],
         head_roll_range=[-0.5, 0.5],
         head_range_factor=1.0,
+        # False = parity. True enables the reference's own commented-out
+        # head override (joystick.py:419): head servo targets come from the
+        # command dims directly (action_scale's ±0.25 rad tanh-bounded
+        # authority cannot reach the ±0.5..2.7 rad head command ranges).
+        head_direct_targets=False,
     )
 
 
@@ -378,6 +383,16 @@ class Joystick(DuckEnv):
             prev = info["motor_targets"]
             lim = cfg.max_motor_velocity * self.dt
             motor_targets = jnp.clip(motor_targets, prev - lim, prev + lim)
+
+        # Reference joystick.py:419 ships this commented out; exposed here
+        # as a config flag (default off = parity) because it is the only
+        # way head commands beyond action_scale's ±0.25 rad authority can
+        # be reached at all: head servo targets come straight from the
+        # command, the policy controls only the legs through its actions.
+        if self._actuators == 14 and bool(
+            self._config.get("head_direct_targets", False)
+        ):
+            motor_targets = motor_targets.at[5:9].set(info["command"][3:7])
 
         data = F.step(model, data, motor_targets, self.n_substeps,
                       use_megakernel=self.use_megakernel)

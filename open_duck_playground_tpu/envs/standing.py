@@ -73,6 +73,10 @@ def default_config() -> config_dict.ConfigDict:
         # latent upstream bug — see rewards.head_pos); True trains real
         # head-command tracking
         head_pos_ungated=False,
+        # see joystick.default_config: direct head-servo targets from the
+        # command dims (the only route past action_scale's 0.25 rad
+        # authority ceiling on head commands)
+        head_direct_targets=False,
     )
 
 

@@ -48,6 +48,7 @@ class ClosedLoopRunner:
         standing: bool = False,
         accel_x_offset: float = 1.3,
         zero_phase: bool = False,
+        head_direct_targets: bool = False,
     ):
         # accel_x_offset replicates the reference's eval-side accelerometer
         # quirk (mujoco_infer.py:74; a no-op in training obs). Pass 0.0 for
@@ -58,6 +59,10 @@ class ClosedLoopRunner:
         # feeding them a live cos/sin phase here is out-of-distribution and
         # makes such policies fall on contact. Obs layout is unchanged.
         self.zero_phase = zero_phase
+        # mirrors the env's head_direct_targets flag: head servo targets
+        # come from the command dims (policies trained with that flag must
+        # be evaluated with it)
+        self.head_direct_targets = head_direct_targets
         self.model = compile_mjcf(model_path, timestep=0.002)
         self.data = mujoco.MjData(self.model)
         # start from the "home" keyframe like training reset does
@@ -177,6 +182,8 @@ class ClosedLoopRunner:
                 self.prev_motor_targets + lim,
             )
             self.prev_motor_targets = self.motor_targets.copy()
+        if self.head_direct_targets and self.num_dofs == 14:
+            self.motor_targets[5:9] = self.commands[3:7]
         self.data.ctrl[:] = self.motor_targets
 
     def run_headless(self, seconds: float, commands=None) -> dict:
@@ -318,6 +325,13 @@ def main(argv=None):
         help="freeze the imitation-phase obs dims at [0,0] for policies "
         "trained with use_imitation=False",
     )
+    parser.add_argument(
+        "--head_direct_targets",
+        action="store_true",
+        default=False,
+        help="head servo targets from command dims (mirror of the env's "
+        "head_direct_targets training flag)",
+    )
     args = parser.parse_args(argv)
     runner = ClosedLoopRunner(
         args.model_path,
@@ -326,6 +340,7 @@ def main(argv=None):
         args.standing,
         accel_x_offset=args.accel_x_offset,
         zero_phase=args.zero_phase,
+        head_direct_targets=args.head_direct_targets,
     )
     commands = None
     if args.command is not None:

@@ -41,14 +41,21 @@ STANDING_ROWS = [
 ]
 
 
-def run_matrix(onnx_path, model_path, seconds=10.0, standing=False):
+def run_matrix(
+    onnx_path, model_path, seconds=10.0, standing=False, head_direct=False
+):
     from open_duck_playground_tpu.eval_tools.mujoco_runner import (
         ClosedLoopRunner,
     )
 
     results = []
     for name, cmd, crit in STANDING_ROWS if standing else ROWS:
-        runner = ClosedLoopRunner(model_path, onnx_path, standing=standing)
+        runner = ClosedLoopRunner(
+            model_path,
+            onnx_path,
+            standing=standing,
+            head_direct_targets=head_direct,
+        )
         stats = runner.run_headless(seconds, commands=cmd)
         stats.pop("saved_obs", None)
         x, y = stats["final_xy"]
@@ -89,6 +96,11 @@ def main():
         action="store_true",
         help="run the Standing-policy battery (head-command tracking rows)",
     )
+    ap.add_argument(
+        "--head_direct_targets",
+        action="store_true",
+        help="mirror the env's head_direct_targets training flag",
+    )
     args = ap.parse_args()
 
     results = run_matrix(
@@ -96,6 +108,7 @@ def main():
         args.model_path,
         args.seconds,
         standing=args.standing,
+        head_direct=args.head_direct_targets,
     )
     for r in results:
         print(json.dumps(r))
