@@ -53,6 +53,23 @@ class GaitOracle:
         self._dys = jnp.asarray(self.dys, dtype)
         self._dthetas = jnp.asarray(self.dthetas, dtype)
         self.ndim = ndim
+        # In-env the phase is an INTEGER step index (i % 27), so the whole
+        # library collapses to a precomputed (6,4,10,27,40) frame table:
+        # the hot path becomes a 40-float row gather instead of a (40,16)
+        # coefficient gather + 15 Horner steps (the polyval path measured
+        # 192 us per 4096-env step on TPU — ~85% of the non-physics
+        # env.step overhead). Precomputed in float64.
+        tgrid = np.arange(self.nb_steps_in_period) / self.nb_steps_in_period
+        powers = tgrid[None, :] ** np.arange(ncoef)[:, None]  # (16, 27)
+        frames = np.einsum("xytdk,kp->xytpd", table, powers)
+        # flattened (6*4*10*27, 40): ONE dynamic row index per lookup — a
+        # multi-axis batched gather lowers to per-lane scalar work on TPU
+        self.frames_flat = jnp.asarray(frames.reshape(-1, ndim), dtype)
+        self._strides = (
+            len(self.dys) * len(self.dthetas) * self.nb_steps_in_period,
+            len(self.dthetas) * self.nb_steps_in_period,
+            self.nb_steps_in_period,
+        )
 
     def cell_index(self, dx, dy, dtheta):
         ix = jnp.argmin(jnp.abs(self._dxs - jnp.clip(dx, self._dxs[0], self._dxs[-1])))
@@ -63,13 +80,17 @@ class GaitOracle:
         return ix, iy, it
 
     def reference_frame(self, dx, dy, dtheta, i):
-        """40-dim reference frame for command (dx,dy,dtheta) at phase step i."""
+        """40-dim reference frame for command (dx,dy,dtheta) at integer
+        phase step i (all in-env callers use integer steps; fractional
+        phases live in the numpy twin used by eval tools)."""
         ix, iy, it = self.cell_index(dx, dy, dtheta)
-        coeffs = self.table[ix, iy, it]  # (40, 16) lowest-degree first
-        t = (i % self.nb_steps_in_period) / self.nb_steps_in_period
-        t = jnp.clip(t, 0.0, 1.0).astype(self.table.dtype)
-        # Horner from highest degree (coeffs[:, -1] is the highest term)
-        out = coeffs[:, -1]
-        for k in range(coeffs.shape[1] - 2, -1, -1):
-            out = out * t + coeffs[:, k]
-        return out
+        p = jnp.asarray(i, jnp.int32) % self.nb_steps_in_period
+        sx, sy, st_ = self._strides
+        flat = ix * sx + iy * sy + it * st_ + p
+        # one-hot contraction instead of a row gather: under vmap this is a
+        # single (B, 6480) @ (6480, 40) MXU matmul; TPU per-env gathers run
+        # on the scalar core and measured 3-5x slower
+        onehot = (
+            jnp.arange(self.frames_flat.shape[0], dtype=jnp.int32) == flat
+        ).astype(self.frames_flat.dtype)
+        return onehot @ self.frames_flat
