@@ -98,9 +98,18 @@ def train(
     debug_loss_metrics: bool = False,
 ):
     """Returns (make_policy, (normalizer, params), metrics)."""
-    assert batch_size * num_minibatches == num_envs, (
-        "PPO rollout contract: batch_size * num_minibatches must equal num_envs",
+    # Brax's rollout contract: batch_size * num_minibatches must be a
+    # positive multiple of num_envs; when it exceeds num_envs the rollout
+    # collects k consecutive unroll segments per env per training step and
+    # minibatches over the k*num_envs trajectory segments (brax
+    # ppo/train.py semantics). k == 1 (the pinned duck config) keeps the
+    # segment-free fast path.
+    assert batch_size * num_minibatches % num_envs == 0, (
+        "PPO rollout contract: batch_size * num_minibatches must be a "
+        "multiple of num_envs",
         batch_size, num_minibatches, num_envs)
+    k_unrolls = (batch_size * num_minibatches) // num_envs
+    assert k_unrolls >= 1
     rng = jax.random.PRNGKey(seed)
 
     if mesh is None:
@@ -188,7 +197,7 @@ def train(
             functools.partial(policy_step, params=params, normalizer=normalizer),
             (env_state, key, RS.zero_moments(normalizer)),
             None,
-            length=unroll_length,
+            length=k_unrolls * unroll_length,
         )
         # Only the final frame's obs is needed for the GAE bootstrap value —
         # carrying per-step next_obs would double the rollout's HBM writes
@@ -287,17 +296,43 @@ def train(
         env_state, data, final_obs, moments = generate_unroll(
             env_state, unroll_key, training_state.params, training_state.normalizer
         )
-        # data leaves: (T, num_envs, ...); final_obs leaves: (num_envs, ...)
+        # data leaves: (k*T, num_envs, ...); final_obs leaves: (num_envs, ...)
 
         if normalize_observations:
-            batch = jnp.asarray(num_envs * unroll_length, jnp.float32)
+            batch = jnp.asarray(
+                k_unrolls * num_envs * unroll_length, jnp.float32
+            )
             normalizer = RS.merge_moments(
                 training_state.normalizer, batch, *moments
             )
         else:
             normalizer = training_state.normalizer
 
-        mb_size = num_envs // num_minibatches
+        if k_unrolls > 1:
+            # brax-general contract: split the long rollout into k unroll
+            # segments per env and treat them as k*num_envs independent
+            # trajectory segments. Segment j's GAE bootstrap obs is the obs
+            # observed at the first step of segment j+1 (the state the
+            # segment's last action produced); the final segment uses the
+            # post-rollout env obs.
+            T, E = unroll_length, num_envs
+
+            def to_segments(x):  # (k*T, E, ...) -> (T, k*E, ...)
+                x = x.reshape((k_unrolls, T) + x.shape[1:])
+                x = jnp.swapaxes(x, 0, 1)
+                return x.reshape((T, k_unrolls * E) + x.shape[3:])
+
+            final_obs = jax.tree.map(
+                lambda d_obs, fin: jnp.concatenate(
+                    [d_obs[T::T][: k_unrolls - 1], fin[None]], axis=0
+                ).reshape((k_unrolls * E,) + fin.shape[1:]),
+                data["obs"],
+                final_obs,
+            )
+            data = jax.tree.map(to_segments, data)
+
+        mb_size = batch_size
+        ntraj = k_unrolls * num_envs
 
         def one_epoch(carry, _):
             params, opt_state, key = carry
@@ -310,7 +345,7 @@ def train(
             # moved the full (T, B, obs) block through HBM three times).
             # Minibatch contents are bitwise-identical to that path:
             # jax.random.permutation(k, x) == x[jax.random.permutation(k, n)].
-            perm = jax.random.permutation(perm_key, num_envs)
+            perm = jax.random.permutation(perm_key, ntraj)
 
             def gather_step(carry, idx):
                 mb_envs = jax.lax.dynamic_slice_in_dim(
@@ -350,11 +385,11 @@ def train(
             opt_state=opt_state,
             normalizer=normalizer,
             env_steps=training_state.env_steps
-            + num_envs * unroll_length * action_repeat,
+            + k_unrolls * num_envs * unroll_length * action_repeat,
         )
         return new_ts, env_state, key, metrics
 
-    steps_per_training_step = num_envs * unroll_length * action_repeat
+    steps_per_training_step = k_unrolls * num_envs * unroll_length * action_repeat
 
     def training_epoch(training_state, env_state, key, num_steps: int):
         def body(carry, _):
