@@ -84,6 +84,7 @@ def default_config() -> config_dict.ConfigDict:
                 alive=20.0,
                 imitation=1.0,
                 progress=0.0,  # extension, off for reference parity
+                yaw_rate_l1=0.0,  # extension (use negative), off for parity
             ),
             tracking_sigma=0.01,
         ),
@@ -578,6 +579,11 @@ class Joystick(DuckEnv):
             # --config_override reward_config.scales.progress=3.0
             "progress": R.forward_progress(
                 info["command"], self.get_local_linvel(data)
+            ),
+            # extension (scale 0.0 default): linear yaw-rate error cost —
+            # restores the heading gradient the flat exp kernel loses
+            "yaw_rate_l1": R.yaw_rate_l1(
+                info["command"], self.get_gyro(data)
             ),
         }
 

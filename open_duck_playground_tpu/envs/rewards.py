@@ -27,6 +27,15 @@ def tracking_ang_vel(cmd, ang_vel, sigma):
     return _nn(jnp.exp(-jnp.square(cmd[2] - ang_vel[2]) / sigma))
 
 
+def yaw_rate_l1(cmd, ang_vel):
+    """Linear |yaw-rate error| cost (this repo's extension, scale 0.0 by
+    default = parity). tracking_ang_vel's exp kernel (sigma 0.01) is
+    numerically flat once |wz - cmd| > ~0.3 rad/s, so persistent heading
+    drift sees no gradient; an L1 cost restores it everywhere (use a small
+    negative scale)."""
+    return _nn(jnp.abs(cmd[2] - ang_vel[2]))
+
+
 def forward_progress(cmd, local_vel):
     """LINEAR velocity-along-command shaping (this repo's extension, not in
     the reference — shipped with scale 0.0 for behavioral parity).

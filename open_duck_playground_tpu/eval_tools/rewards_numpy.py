@@ -77,6 +77,11 @@ def head_pos(joints_qpos, joints_qvel, cmd, ungated=False):
     return _nn(err) * (move_norm > 0.01)
 
 
+def yaw_rate_l1(cmd, ang_vel):
+    """numpy mirror of rewards.yaw_rate_l1 (extension, scale 0.0 default)."""
+    return _nn(np.abs(cmd[2] - ang_vel[2]))
+
+
 def forward_progress(cmd, local_vel):
     """numpy mirror of rewards.forward_progress (extension, scale 0.0 by
     default)."""
