@@ -82,9 +82,21 @@ class GaitOracle:
     def reference_frame(self, dx, dy, dtheta, i):
         """40-dim reference frame for command (dx,dy,dtheta) at integer
         phase step i (all in-env callers use integer steps; fractional
-        phases live in the numpy twin used by eval tools)."""
+        phases live in the numpy twin used by eval tools).
+
+        ``i`` must be integer-dtyped: the table is sampled at integer phase
+        steps only, so a fractional phase (e.g. the numpy twin's
+        ``phase_frequency_factor`` path) would be silently floored here —
+        rejected loudly instead."""
         ix, iy, it = self.cell_index(dx, dy, dtheta)
-        p = jnp.asarray(i, jnp.int32) % self.nb_steps_in_period
+        i = jnp.asarray(i)
+        if not jnp.issubdtype(i.dtype, jnp.integer):
+            raise TypeError(
+                f"reference_frame expects an integer phase step, got dtype {i.dtype}; "
+                "fractional phases are only supported by the numpy twin "
+                "(eval_tools/gait_oracle_numpy.py)"
+            )
+        p = i.astype(jnp.int32) % self.nb_steps_in_period
         sx, sy, st_ = self._strides
         flat = ix * sx + iy * sy + it * st_ + p
         # one-hot contraction instead of a row gather: under vmap this is a

@@ -312,6 +312,16 @@ class Joystick(DuckEnv):
             if v != 0:
                 metrics[("reward/" if v > 0 else "cost/") + k] = jnp.zeros((), jnp.float32)
         metrics["swing_peak"] = jnp.zeros((), jnp.float32)
+        # competence scalars (extension beyond the reference, which streams
+        # reward only — runner.py:56-66): closed-loop transfer measurements
+        # showed eval reward saturates then anti-correlates with command
+        # tracking (RESULTS.md), so the tracking errors themselves are
+        # streamed. Keys must exist at reset: scan carries require the
+        # reset/step State pytrees to match exactly.
+        metrics["tracking_err/lin_vel"] = jnp.zeros((), jnp.float32)
+        metrics["tracking_err/ang_vel"] = jnp.zeros((), jnp.float32)
+        if self._actuators == 14:
+            metrics["tracking_err/head"] = jnp.zeros((), jnp.float32)
 
         contact = C.feet_contact_flags(model, data.contact_dist)
         obs = self._get_obs(data, info, contact)
@@ -419,6 +429,7 @@ class Joystick(DuckEnv):
         info["last_last_last_act"] = info["last_last_act"]
         info["last_last_act"] = info["last_act"]
         info["last_act"] = action
+        cmd_active = info["command"]  # this step's command (pre-resample)
         info["rng"], cmd_rng = jax.random.split(info["rng"])
         info["command"] = jnp.where(
             info["step"] > 500, self.sample_command(cmd_rng), info["command"]
@@ -436,6 +447,19 @@ class Joystick(DuckEnv):
                     v if sc > 0 else -v
                 )
         metrics["swing_peak"] = jnp.mean(info["swing_peak"])
+        # competence scalars vs the command that was ACTIVE this step (cmd
+        # was captured before the resample above); see reset for rationale
+        local_vel = self.get_local_linvel(data)
+        gyro_w = self.get_gyro(data)
+        metrics["tracking_err/lin_vel"] = jnp.linalg.norm(
+            cmd_active[:2] - local_vel[:2]
+        )
+        metrics["tracking_err/ang_vel"] = jnp.abs(cmd_active[2] - gyro_w[2])
+        if self._actuators == 14:
+            head_q = self.get_actuator_joints_qpos(data.qpos)[5:9]
+            metrics["tracking_err/head"] = jnp.mean(
+                jnp.abs(head_q - cmd_active[3:7])
+            )
 
         return state.replace(
             data=data,

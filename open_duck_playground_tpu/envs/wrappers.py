@@ -176,6 +176,12 @@ class EvalEnv(TrainingEnv):
             "episode_reward": jnp.zeros(rng.shape[0], jnp.float32),
             "episode_length": jnp.zeros(rng.shape[0], jnp.float32),
             "episode_done": jnp.zeros(rng.shape[0], jnp.float32),
+            # per-episode SUMS of every env metric (brax EvalWrapper
+            # semantics); the evaluator divides by episode_length where a
+            # per-step mean is the meaningful reading (tracking errors)
+            "episode_metrics": jax.tree.map(
+                lambda x: jnp.zeros(rng.shape[0], jnp.float32), state.metrics
+            ),
         }
         return state.replace(info=info)
 
@@ -189,6 +195,11 @@ class EvalEnv(TrainingEnv):
             "episode_reward": em["episode_reward"] + alive * nstate.reward,
             "episode_length": em["episode_length"] + alive,
             "episode_done": jnp.maximum(em["episode_done"], nstate.done),
+            "episode_metrics": jax.tree.map(
+                lambda acc, v: acc + alive * v,
+                em["episode_metrics"],
+                nstate.metrics,
+            ),
         }
         ninfo = dict(nstate.info)
         ninfo["eval_metrics"] = em

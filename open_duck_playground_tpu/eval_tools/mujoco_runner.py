@@ -181,9 +181,14 @@ class ClosedLoopRunner:
                 self.prev_motor_targets - lim,
                 self.prev_motor_targets + lim,
             )
-            self.prev_motor_targets = self.motor_targets.copy()
+        # head override BEFORE the prev copy: the env stores the
+        # post-override targets as prev (envs/joystick.py step ordering) —
+        # keep the train/eval mirror invariant exact even if the override
+        # ever becomes conditional per-step.
         if self.head_direct_targets and self.num_dofs == 14:
             self.motor_targets[5:9] = self.commands[3:7]
+        if USE_MOTOR_SPEED_LIMITS:
+            self.prev_motor_targets = self.motor_targets.copy()
         self.data.ctrl[:] = self.motor_targets
 
     def run_headless(self, seconds: float, commands=None) -> dict:

@@ -245,7 +245,8 @@ def _build_kernel(m: Model, n_substeps: int, tile: int = LANE_TILE):
     # rows x 128 lanes when tile > 128 (f32's native (8,128) vreg tile; a
     # 1-sublane op wastes 7/8 of the VPU datapath) or as a classic 1-D lane
     # tile when tile == 128. E1 broadcasts a tail-less constant over the tail.
-    assert tile % 128 == 0 and (tile // 128 <= 8 or (tile // 128) % 8 == 0), tile
+    assert tile >= 128 and tile % 128 == 0, tile
+    assert tile // 128 <= 8 or (tile // 128) % 8 == 0, tile
     SUB = tile // 128
     E1 = (1,) if SUB == 1 else (1, 1)
     nq, nv, nu, nbody, njnt = s.nq, s.nv, s.nu, s.nbody, s.njnt

@@ -18,7 +18,7 @@ from ml_collections import config_dict
 def ppo_config(**overrides) -> config_dict.ConfigDict:
     cfg = config_dict.create(
         num_timesteps=150_000_000,
-        num_evals=15,
+        num_evals=10,
         reward_scaling=1.0,
         episode_length=1000,
         normalize_observations=True,

@@ -202,7 +202,11 @@ def train(
         # Only the final frame's obs is needed for the GAE bootstrap value —
         # carrying per-step next_obs would double the rollout's HBM writes
         # and the per-epoch shuffle traffic for data the loss never reads.
-        return env_state, data, env_state.obs, moments  # data: (T, num_envs, ...)
+        # With k_unrolls > 1 each unroll_length-long segment's bootstrap obs
+        # comes from the frame after the segment boundary; if an episode ends
+        # exactly at a boundary that obs is post-reset, which is inert because
+        # GAE masks the bootstrap with termination/truncation at the boundary.
+        return env_state, data, env_state.obs, moments  # data: (k*T, num_envs, ...)
 
     # ---------------------------------------------------------------- loss
     def loss_fn(params, normalizer, batch, ent_key):
@@ -426,11 +430,24 @@ def train(
                 step, (state, key), None, length=episode_length // action_repeat
             )
             em = state.info["eval_metrics"]
-            return {
+            out = {
                 "eval/episode_reward": em["episode_reward"].mean(),
                 "eval/episode_reward_std": em["episode_reward"].std(),
                 "eval/avg_episode_length": em["episode_length"].mean(),
             }
+            # Competence scalars (beyond the reference, which streams reward
+            # only): per-step episode means of the env's tracking errors —
+            # eval reward saturates/anti-correlates with closed-loop command
+            # tracking (RESULTS.md), so the errors are streamed directly.
+            # Reward/cost terms stay episode SUMS (brax episode_metrics
+            # semantics).
+            ep_len = jnp.maximum(em["episode_length"], 1.0)
+            for k, v in em["episode_metrics"].items():
+                if k.startswith("tracking_err/"):
+                    out["eval/" + k] = (v / ep_len).mean()
+                else:
+                    out["eval/episode_" + k] = v.mean()
+            return out
 
         evaluator = jax.jit(run_eval)
 

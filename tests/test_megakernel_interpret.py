@@ -42,12 +42,16 @@ def test_pick_tile():
     assert MK.pick_tile(8192 * nd) == 1024
     assert MK.pick_tile(640 * nd) == 128  # 640 = 5*128: 1024 doesn't divide
     assert MK.pick_tile(100) is None  # not 128-aligned
+    prior = os.environ.get("ODPT_LANE_TILE")
     os.environ["ODPT_LANE_TILE"] = "128"
     try:
         assert MK.pick_tile(1024 * nd) == 128
         assert MK.pick_tile(100) is None  # forced tile must divide the batch
     finally:
-        del os.environ["ODPT_LANE_TILE"]
+        if prior is None:
+            del os.environ["ODPT_LANE_TILE"]
+        else:
+            os.environ["ODPT_LANE_TILE"] = prior
 
 
 @pytest.mark.parametrize(
@@ -138,6 +142,7 @@ def test_megakernel_interpret_multidevice():
     nd = 2
     assert jax.device_count() >= nd, "conftest provides 8 virtual devices"
     B = 128 * nd
+    prior = os.environ.get("ODPT_LANE_TILE")
     os.environ["ODPT_LANE_TILE"] = "128"
     assert MK.pick_tile(B) == 128
 
@@ -180,7 +185,10 @@ def test_megakernel_interpret_multidevice():
         assert len(d_mk.qpos.sharding.device_set) == nd
     finally:
         MK.INTERPRET = old
-        del os.environ["ODPT_LANE_TILE"]
+        if prior is None:
+            del os.environ["ODPT_LANE_TILE"]
+        else:
+            os.environ["ODPT_LANE_TILE"] = prior
     for f, p90_tol, max_tol in [("qpos", 1e-5, 1e-4), ("qvel", 1e-3, 1e-2)]:
         a = np.asarray(getattr(d_mk, f))
         b = np.asarray(getattr(d_ref, f))
