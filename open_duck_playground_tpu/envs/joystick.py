@@ -85,6 +85,7 @@ def default_config() -> config_dict.ConfigDict:
                 imitation=1.0,
                 progress=0.0,  # extension, off for reference parity
                 yaw_rate_l1=0.0,  # extension (use negative), off for parity
+                lin_vel_l1=0.0,  # extension (use negative), off for parity
             ),
             tracking_sigma=0.01,
         ),
@@ -608,6 +609,11 @@ class Joystick(DuckEnv):
             # restores the heading gradient the flat exp kernel loses
             "yaw_rate_l1": R.yaw_rate_l1(
                 info["command"], self.get_gyro(data)
+            ),
+            # extension (scale 0.0 default): linear planar-velocity error
+            # cost — the translation analog (kills turn-in-place drift)
+            "lin_vel_l1": R.lin_vel_l1(
+                info["command"], self.get_local_linvel(data)
             ),
         }
 

@@ -36,6 +36,16 @@ def yaw_rate_l1(cmd, ang_vel):
     return _nn(jnp.abs(cmd[2] - ang_vel[2]))
 
 
+def lin_vel_l1(cmd, local_vel):
+    """Linear planar-velocity-error cost (this repo's extension, scale 0.0
+    by default = parity). The translation analog of yaw_rate_l1:
+    tracking_lin_vel's exp kernel is flat once the error exceeds ~0.3 m/s,
+    so residual translation — e.g. drifting in a slow circle during a
+    turn-in-place command — sees no gradient; an L1 cost restores it
+    everywhere (use a small negative scale)."""
+    return _nn(jnp.sum(jnp.abs(cmd[:2] - local_vel[:2])))
+
+
 def forward_progress(cmd, local_vel):
     """LINEAR velocity-along-command shaping (this repo's extension, not in
     the reference — shipped with scale 0.0 for behavioral parity).

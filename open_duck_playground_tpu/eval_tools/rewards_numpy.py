@@ -82,6 +82,11 @@ def yaw_rate_l1(cmd, ang_vel):
     return _nn(np.abs(cmd[2] - ang_vel[2]))
 
 
+def lin_vel_l1(cmd, local_vel):
+    """numpy mirror of rewards.lin_vel_l1 (extension, scale 0.0 default)."""
+    return _nn(np.sum(np.abs(cmd[:2] - local_vel[:2])))
+
+
 def forward_progress(cmd, local_vel):
     """numpy mirror of rewards.forward_progress (extension, scale 0.0 by
     default)."""

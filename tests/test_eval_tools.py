@@ -130,6 +130,7 @@ def test_numpy_reward_mirrors_match_jax():
             ("head_pos", (pose14, vel14, cmd, True)),
             ("forward_progress", (cmd, vel3)),
             ("yaw_rate_l1", (cmd, vel3)),
+            ("lin_vel_l1", (cmd, vel3)),
             ("lin_vel_z", (vel3,)),
             ("ang_vel_xy", (vel3,)),
             ("base_height", (1.3, 1.0)),

@@ -123,6 +123,7 @@ def test_megakernel_interpret_matches_engine(scene, tile):
         MK.INTERPRET = old
 
 
+@pytest.mark.slow
 def test_megakernel_interpret_multidevice():
     """The megakernel under a REAL >1-device pjit, in interpret mode.
 

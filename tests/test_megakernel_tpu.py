@@ -23,6 +23,14 @@ def _tpu_env():
             env.pop(k, None)
         else:
             env[k] = v
+    # Persistent compile cache for the subprocesses: conftest configures the
+    # cache via jax.config (process-local), so without these the TPU
+    # subprocesses recompile every kernel from scratch on every suite run —
+    # the dominant cost of the default suite on a TPU host. With them, only
+    # the first run on a host pays the compiles.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/odp_tpu_jax_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     return env
 
 
@@ -123,6 +131,7 @@ print("MEGAKERNEL_OK")
 """
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "scene,batch",
     [
@@ -198,6 +207,7 @@ print("SHARDED_MEGAKERNEL_OK")
 """
 
 
+@pytest.mark.slow
 def test_megakernel_sharded(tmp_path):
     """VERDICT r1 item 2a: the megakernel under a sharded jit — explicit
     NamedSharding in/out shardings over a ('data',) mesh at LANE_TILE-aligned

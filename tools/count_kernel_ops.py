@@ -22,6 +22,11 @@ import os
 import sys
 from collections import Counter
 
+# Pure tracing needs no accelerator — pin CPU so running the census NEVER
+# attaches a second client to the TPU tunnel (a second attach wedges any
+# training run already holding the chip; learned the hard way in round 5).
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
