@@ -88,12 +88,26 @@ def _eqn_slots(eqn) -> float:
         base = math.ceil(sub / (8 * 128))
         base = max(base, 1)
     if name.startswith("reduce_"):
-        # cost of reading the (bigger) input + shuffle passes
         inshape = eqn.invars[0].aval.shape
         sub = 1
         for s in inshape[:-1]:
             sub *= s
-        base = math.ceil(sub / 8) + 3
+        in_slots = math.ceil(sub / 8)
+        axes = eqn.params.get("axes", ())
+        nd = len(inshape)
+        if (
+            nd >= 3
+            and inshape[-1] >= 128
+            and axes
+            and all(a < nd - 2 for a in axes)
+        ):
+            # leading-axis reduction, e.g. (k, 8, 128) -> (8, 128): the env
+            # tile is untouched, so this is a plain add tree — in_tiles -
+            # out_tiles vector adds, NO cross-sublane shuffle passes
+            base = max(in_slots - base, 1)
+        else:
+            # collapses sublanes/lanes: input reads + log2(8)=3 shuffle passes
+            base = in_slots + 3
     return base * _XCEND.get(name, 1.0)
 
 

@@ -106,18 +106,28 @@ def _build(variant: str, chains: int, iters: int):
     return jax.jit(fn), x, slots_per_round * ROUNDS
 
 
-def _time(fn, x, reps=5):
-    out = fn(x)
-    jax.block_until_ready(out)  # compile + warm
+def _time(fn, x, reps=3, chain=4):
+    """Time fn by chaining `chain` dependent calls and forcing a host
+    readback. Through the axon relay, block_until_ready can return before
+    the device has actually finished — a device->host copy of the result
+    cannot (measured: single-call block_until_ready timing read 0.04 ms for
+    a 38 ms kernel)."""
+    np.asarray(fn(x))  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(x))
-        best = min(best, time.perf_counter() - t0)
+        y = x
+        for _ in range(chain):
+            y = fn(y)
+        np.asarray(y)  # readback: completes only after all chained kernels
+        best = min(best, (time.perf_counter() - t0) / chain)
     return best
 
 
-def measure(variant: str, chains: int, i1=2_000, i2=20_000):
+def measure(variant: str, chains: int, i1=200_000, i2=1_000_000):
+    # trip counts sized so the i2 kernel runs tens of ms: dispatch through
+    # the axon relay costs ~0.3-1 ms of jitter per call, which must be
+    # negligible against the slope (t2 - t1)
     fn1, x, spt = _build(variant, chains, i1)
     fn2, _, _ = _build(variant, chains, i2)
     t1, t2 = _time(fn1, x), _time(fn2, x)
