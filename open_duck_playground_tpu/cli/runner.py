@@ -73,6 +73,16 @@ class Runner:
             self.writer = None
 
         overrides = parse_overrides(getattr(args, "config_override", None))
+        # --config_override keys that name PPO config fields (num_evals,
+        # batch_size, bf16_matmuls, ...) route to the PPO config; everything
+        # else (dotted env keys like reward_config.scales.*) to the env
+        ppo_overrides = {}
+        if overrides:
+            # num_timesteps/seed have dedicated CLI flags, which win
+            ppo_fields = set(ppo_config()) - {"num_timesteps", "seed"}
+            for k in [k for k in overrides if k in ppo_fields]:
+                ppo_overrides[k] = overrides.pop(k)
+            overrides = overrides or None
         self.env = build_env(args.env, args.task, overrides)
         self.eval_env = build_env(args.env, args.task, overrides)
         from open_duck_playground_tpu.envs.randomize import domain_randomize
@@ -94,6 +104,7 @@ class Runner:
         self.ppo_params = ppo_config(
             num_timesteps=args.num_timesteps,
             seed=getattr(args, "seed", 0),
+            **ppo_overrides,
         )
         self.action_size = self.env.action_size
         self.obs_size = None  # filled in train()

@@ -38,6 +38,10 @@ def ppo_config(**overrides) -> config_dict.ConfigDict:
         num_eval_envs=128,
         deterministic_eval=False,
         seed=0,
+        # this repo's extension (off = brax-parity f32 numerics): bf16 MXU
+        # passes with f32 accumulation for the actor/critic matmuls — the
+        # SGD phase is f32-matmul-roofline-bound at production shapes
+        bf16_matmuls=False,
         network_factory=config_dict.create(
             policy_hidden_layer_sizes=(128, 128, 128, 128),
             value_hidden_layer_sizes=(256, 256, 256, 256),

@@ -34,11 +34,27 @@ def init_mlp(key, sizes: Sequence[int]) -> Dict:
         }
     return params
 
-def apply_mlp(params: Dict, x: jnp.ndarray, final_activation=False) -> jnp.ndarray:
+def apply_mlp(
+    params: Dict, x: jnp.ndarray, final_activation=False, matmul_dtype=None
+) -> jnp.ndarray:
+    """Forward MLP. With matmul_dtype=bfloat16 the MXU passes run on bf16
+    inputs with f32 accumulation (preferred_element_type) — params, biases
+    and activations stay f32 (mixed-precision matmuls only; the SGD phase
+    is f32-matmul-roofline-bound at production shapes, see RESULTS.md)."""
     n = len(params)
     for i in range(n):
         p = params[f"hidden_{i}"]
-        x = x @ p["kernel"] + p["bias"]
+        if matmul_dtype is None:
+            x = x @ p["kernel"] + p["bias"]
+        else:
+            x = (
+                jnp.dot(
+                    x.astype(matmul_dtype),
+                    p["kernel"].astype(matmul_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + p["bias"]
+            )
         if i < n - 1 or final_activation:
             x = jax.nn.swish(x)
     return x
@@ -55,10 +71,12 @@ class PPONetworks:
         value_hidden: Tuple[int, ...],
         policy_obs_key: str = "state",
         value_obs_key: str = "privileged_state",
+        matmul_dtype=None,
     ):
         self.action_size = action_size
         self.policy_obs_key = policy_obs_key
         self.value_obs_key = value_obs_key
+        self.matmul_dtype = matmul_dtype
         self.policy_sizes = (
             obs_sizes[policy_obs_key],
             *policy_hidden,
@@ -74,10 +92,18 @@ class PPONetworks:
         }
 
     def policy_logits(self, params, norm_obs: Dict[str, jnp.ndarray]):
-        return apply_mlp(params["policy"], norm_obs[self.policy_obs_key])
+        return apply_mlp(
+            params["policy"],
+            norm_obs[self.policy_obs_key],
+            matmul_dtype=self.matmul_dtype,
+        )
 
     def value(self, params, norm_obs: Dict[str, jnp.ndarray]):
-        return apply_mlp(params["value"], norm_obs[self.value_obs_key])[..., 0]
+        return apply_mlp(
+            params["value"],
+            norm_obs[self.value_obs_key],
+            matmul_dtype=self.matmul_dtype,
+        )[..., 0]
 
 
 # --- tanh-squashed Normal (brax NormalTanhDistribution semantics) ---------

@@ -96,6 +96,7 @@ def train(
     mesh: Optional[Mesh] = None,
     max_env_steps_per_jit: Optional[int] = 8_192_000,
     debug_loss_metrics: bool = False,
+    bf16_matmuls: bool = False,
 ):
     """Returns (make_policy, (normalizer, params), metrics)."""
     # Brax's rollout contract: batch_size * num_minibatches must be a
@@ -138,6 +139,10 @@ def train(
         tuple(value_hidden_layer_sizes),
         policy_obs_key,
         value_obs_key,
+        # bf16 MXU passes with f32 accumulation for the actor/critic
+        # matmuls (rollout inference + the 128 grad steps); params, grads
+        # and Adam state stay f32. Default off = brax-parity numerics.
+        matmul_dtype=jnp.bfloat16 if bf16_matmuls else None,
     )
     make_policy = make_policy_factory(net)
 

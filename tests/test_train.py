@@ -195,6 +195,36 @@ def test_ppo_learns_toy_env():
     assert a.shape == (2,) and bool(jnp.all(jnp.abs(a) <= 1))
 
 
+def test_ppo_learns_with_bf16_matmuls():
+    """bf16 MXU passes (f32 accumulation, f32 params/Adam) must still learn
+    the toy task — the config-gated throughput extension's numerics check."""
+    rewards = []
+
+    def progress(step, metrics):
+        if "eval/episode_reward" in metrics:
+            rewards.append(float(metrics["eval/episode_reward"]))
+
+    ppo.train(
+        PointEnv(),
+        num_timesteps=40_000,
+        num_envs=32,
+        episode_length=50,
+        unroll_length=10,
+        num_minibatches=4,
+        batch_size=8,
+        num_updates_per_batch=2,
+        learning_rate=3e-3,
+        num_evals=4,
+        num_eval_envs=16,
+        seed=0,
+        policy_hidden_layer_sizes=(32, 32),
+        value_hidden_layer_sizes=(32, 32),
+        progress_fn=progress,
+        bf16_matmuls=True,
+    )
+    assert rewards[-1] > rewards[0] + 10, rewards
+
+
 def test_ppo_learns_brax_general_minibatch_contract():
     """batch_size * num_minibatches = k * num_envs with k > 1 (brax permits
     this by rolling out k unroll segments per training step; VERDICT r3

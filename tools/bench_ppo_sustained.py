@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--timesteps", type=int, default=50_000_000)
     ap.add_argument("--json_out", default=None,
                     help="also write the summary JSON record to this path")
+    ap.add_argument("--bf16_matmuls", action="store_true",
+                    help="bf16 MXU passes for the actor/critic matmuls "
+                         "(config-gated extension; default off = parity)")
     args = ap.parse_args()
 
     from open_duck_playground_tpu.envs.joystick import Joystick
@@ -53,6 +56,7 @@ def main():
         randomization_fn=domain_randomize,
         progress_fn=progress,
         max_env_steps_per_jit=8_192_000,
+        bf16_matmuls=args.bf16_matmuls,
     )
     import jax
 
@@ -76,6 +80,7 @@ def main():
         "n_chips": n_chips,
         "task": args.task,
         "timesteps": args.timesteps,
+        "bf16_matmuls": bool(args.bf16_matmuls),
         # chunk steps are global (all-chip) counts; the first timed chunk is
         # warmup and excluded from "value".
         "chunks": [
