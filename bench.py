@@ -25,7 +25,12 @@ import jax
 import jax.numpy as jnp
 
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
-STEPS = int(os.environ.get("BENCH_STEPS", 50))
+# 500-step scans: each jitted program dispatch through the axon TPU relay
+# costs a constant ~5 ms round trip regardless of scan length (measured
+# round 5: a 1000-step scan of a <=5 us/step body still times ~5 ms/call).
+# At the old STEPS=50 that floor inflated the per-step reading ~7%; 500
+# steps amortizes it below 1% so the metric reads the device rate.
+STEPS = int(os.environ.get("BENCH_STEPS", 500))
 BASELINE_PER_CHIP = 250_000.0
 
 

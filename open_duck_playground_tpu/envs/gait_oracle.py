@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import pickle
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,10 +56,11 @@ class GaitOracle:
         self.ndim = ndim
         # In-env the phase is an INTEGER step index (i % 27), so the whole
         # library collapses to a precomputed (6,4,10,27,40) frame table:
-        # the hot path becomes a 40-float row gather instead of a (40,16)
-        # coefficient gather + 15 Horner steps (the polyval path measured
-        # 192 us per 4096-env step on TPU — ~85% of the non-physics
-        # env.step overhead). Precomputed in float64.
+        # the hot path becomes a 40-float row selection instead of a (40,16)
+        # coefficient gather + 15 Horner steps. Crucially the table is
+        # precomputed in float64 — the power-basis coefficients reach 2e5
+        # in magnitude, so evaluating the degree-15 polynomial on device in
+        # f32 would lose ~2 decimal digits to cancellation.
         tgrid = np.arange(self.nb_steps_in_period) / self.nb_steps_in_period
         powers = tgrid[None, :] ** np.arange(ncoef)[:, None]  # (16, 27)
         frames = np.einsum("xytdk,kp->xytpd", table, powers)
@@ -69,6 +71,13 @@ class GaitOracle:
             len(self.dys) * len(self.dthetas) * self.nb_steps_in_period,
             len(self.dthetas) * self.nb_steps_in_period,
             self.nb_steps_in_period,
+        )
+        # (240, 27*40) cell-major slab for the two-stage lookup: stage 1
+        # contracts a 240-wide cell one-hot on the MXU, stage 2 selects the
+        # phase row on the VPU (see reference_frame)
+        self.ncells = len(self.dxs) * len(self.dys) * len(self.dthetas)
+        self.frames_cell = jnp.asarray(
+            frames.reshape(self.ncells, self.nb_steps_in_period * ndim), dtype
         )
 
     def cell_index(self, dx, dy, dtheta):
@@ -97,12 +106,26 @@ class GaitOracle:
                 "(eval_tools/gait_oracle_numpy.py)"
             )
         p = i.astype(jnp.int32) % self.nb_steps_in_period
-        sx, sy, st_ = self._strides
-        flat = ix * sx + iy * sy + it * st_ + p
-        # one-hot contraction instead of a row gather: under vmap this is a
-        # single (B, 6480) @ (6480, 40) MXU matmul; TPU per-env gathers run
-        # on the scalar core and measured 3-5x slower
-        onehot = (
-            jnp.arange(self.frames_flat.shape[0], dtype=jnp.int32) == flat
-        ).astype(self.frames_flat.dtype)
-        return onehot @ self.frames_flat
+        # Two-stage one-hot contraction instead of a row gather (TPU per-env
+        # gathers run on the scalar core and measured 3-5x slower) or a flat
+        # (B, 6480) @ (6480, 40) one-hot. Stage 1 contracts a 240-wide CELL
+        # one-hot against the (240, 27*40) slab on the MXU — the LHS is 27x
+        # smaller to generate than the flat form's, and precision=HIGHEST
+        # keeps the selected rows f32-exact (the precision-default flat
+        # matmul rounded frame values through bf16 operands, ~0.4% rel).
+        # Stage 2 selects the phase row with a 27-way masked reduce on the
+        # VPU (exact). Floor-corrected timing (1000-step scan, r5): both
+        # forms cost <=5 us per 4096-env step on device — the lookup was
+        # never a rollout bottleneck; this form is kept for the exact-f32
+        # frames at zero measured cost (earlier per-call numbers in this
+        # file's history were dominated by ~5 ms/program relay dispatch).
+        nd, np_ = self.ndim, self.nb_steps_in_period
+        cell = (ix * len(self.dys) + iy) * len(self.dthetas) + it
+        oh_cell = (jnp.arange(self.ncells, dtype=jnp.int32) == cell).astype(
+            self.frames_cell.dtype
+        )
+        slab = jnp.matmul(
+            oh_cell, self.frames_cell, precision=jax.lax.Precision.HIGHEST
+        )
+        oh_p = (jnp.arange(np_, dtype=jnp.int32) == p).astype(slab.dtype)
+        return jnp.sum(slab.reshape(np_, nd) * oh_p[:, None], axis=0)

@@ -122,6 +122,9 @@ def main() -> None:
                     help="TPU core clock (v5e ~0.94 GHz)")
     ap.add_argument("--tile", type=int, default=MK.LANE_TILE,
                     help="env tile: 128 (1-D lane) or 1024 (8x128 sublane)")
+    ap.add_argument("--by_line", action="store_true",
+                    help="attribute slots to source function:line "
+                         "(region profile; needs --slots)")
     args = ap.parse_args()
 
     m, mj = loader.load_model(
@@ -144,12 +147,29 @@ def main() -> None:
     assert pallas, "no pallas_call in trace (batch not LANE_TILE-aligned?)"
     cnt: Counter = Counter()
     slots: Counter = Counter()
+    by_line: Counter = Counter()
+
+    def _src_key(eqn):
+        # innermost user frame inside this repo (skip jax internals)
+        try:
+            frames = list(eqn.source_info.traceback.frames)
+        except Exception:
+            return "<unknown>"
+        for fr in frames:
+            fn = fr.file_name
+            if "open_duck_playground_tpu" in fn:
+                short = fn.split("open_duck_playground_tpu/")[-1]
+                return f"{short}:{fr.function_name}:{fr.line_num}"
+        return "<external>"
 
     def walk(jx, mult=1):
         for eqn in jx.eqns:
             cnt[eqn.primitive.name] += mult
             if args.slots:
-                slots[eqn.primitive.name] += mult * _eqn_slots(eqn)
+                s = mult * _eqn_slots(eqn)
+                slots[eqn.primitive.name] += s
+                if args.by_line and s:
+                    by_line[_src_key(eqn)] += s
             # a loop body is traced ONCE in the jaxpr but executes
             # `length` times — scale it (the substep fori_loop lowers to
             # scan), else the census undercounts the kernel ~n_substeps x
@@ -178,6 +198,10 @@ def main() -> None:
               f"{env_rate:,.0f} env steps/s/chip (10 substeps/env step)")
         for name, n in slots.most_common(args.top):
             print(f"  {name:24s} {n:.0f}")
+        if args.by_line:
+            print("\nslots by source region (function:line, repo frames):")
+            for key, n in by_line.most_common(args.top):
+                print(f"  {n:9.0f}  {key}")
 
 
 if __name__ == "__main__":

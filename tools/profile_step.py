@@ -11,7 +11,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 import jax, jax.numpy as jnp
 
 N = 4096
-STEPS = 50
+# long scans: program dispatch through the axon relay costs ~5 ms, which
+# dominates short scans (a 50-step scan reads ~100 us/step of pure floor)
+STEPS = 500
 
 from open_duck_playground_tpu.envs.joystick import Joystick
 from open_duck_playground_tpu.physics import megakernel as MK
@@ -43,9 +45,12 @@ def time_scan(fn, init, label):
     print(f"{label:40s} {sps:12,.0f} env-steps/s  ({1e6*dt/(STEPS*reps):8.1f} us/batch-step)")
     return sps
 
-# 1. megakernel physics only (10 substeps), state->state
+# 1. megakernel physics only (10 substeps), state->state — at the SAME
+# tile the env path picks (the default tile=128 kwarg is the 1-D lane
+# layout, ~3x slower; this leg silently measured that until round 5)
 def phys(d):
-    return MK.megakernel_step_batched(m, d, ctrl, env.n_substeps)
+    return MK.megakernel_step_batched(m, d, ctrl, env.n_substeps,
+                                      tile=MK.pick_tile(N))
 time_scan(phys, data0, "megakernel physics only (10 substeps)")
 
 # 2. full env step with zero actions
