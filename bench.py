@@ -25,11 +25,11 @@ import jax
 import jax.numpy as jnp
 
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
-# 500-step scans: each jitted program dispatch through the axon TPU relay
-# costs a constant ~5 ms round trip regardless of scan length (measured
-# round 5: a 1000-step scan of a <=5 us/step body still times ~5 ms/call).
-# At the old STEPS=50 that floor inflated the per-step reading ~7%; 500
-# steps amortizes it below 1% so the metric reads the device rate.
+# 500-step scans: dispatching a jitted call whose args/results carry the
+# ~100-leaf env State pytree costs ~5 ms of per-call host/relay overhead
+# regardless of scan length (measured round 5; a small-carry scan pays
+# ~0). At the old STEPS=50 that floor inflated the per-step reading ~7%;
+# 500 steps amortizes it below 1% so the metric reads the device rate.
 STEPS = int(os.environ.get("BENCH_STEPS", 500))
 BASELINE_PER_CHIP = 250_000.0
 
